@@ -1,0 +1,245 @@
+"""Single-pass tokenizer + stack-based tree builder with malformed-HTML repair.
+
+From-scratch Python implementation of the parse algorithm specified by the
+reference (``/root/reference/src/index.ts:833-1028``): one regex alternation
+drives a forward scan (comments OR tags); an element stack handles implicit
+closes (kElementsClosedByOpening), raw-text elements (script/noscript/style/
+pre), void elements (kSelfClosingElements) and aggressive unwind on close
+tags; a post-pass repairs leftover unclosed elements (pair-error vs
+single-error) and sets ``root.valid``.
+
+This is a *pure function of the input string* — deterministic and idempotent,
+so Ray task retries are safe.  All regexes are compiled at module import,
+i.e. once per Ray worker process.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from .dom import CommentNode, HTMLElement, TextNode
+from .jsregex import WS, js_trim
+
+__all__ = ["parse", "ParseMetrics"]
+
+# reference src/index.ts:833 — kMarkupPattern, translated:
+#   [^]        -> [\s\S]
+#   groups     -> named (close / tag / attrs / selfclose); inner groups made
+#                 non-capturing since only 1,2,3,7 are read by parse().
+_S = f"[{WS}]"
+KMARKUP = re.compile(
+    r"<!--[\s\S]*?(?=-->)-->"
+    r"|<(?P<close>/?)"
+    r"(?P<tag>[a-z][-.:0-9_a-z]*)"
+    r"(?P<attrs>(?:" + _S + r"*(?:[a-z][-.:0-9_a-z]*"
+    r"(?:" + _S + r"*=" + _S + r"*(?:\"[^\"]*?\"|'[^']*?'|(?:/(?!>)|[^" + WS + r"\"'<>/])+))?"
+    r"|[^</>" + WS + r"]+))*)"
+    + _S + r"*(?P<selfclose>/?)>",
+    re.IGNORECASE,
+)
+
+# reference src/index.ts:836-847 — kSelfClosingElements (void tags).
+K_SELF_CLOSING = frozenset(
+    ("area", "base", "br", "col", "hr", "img", "input", "link", "meta", "source")
+)
+
+# reference src/index.ts:848-878 — kElementsClosedByOpening: opening tag
+# auto-closes the current parent (one level).
+_HEADINGS_AND_P = frozenset(("p", "h1", "h2", "h3", "h4", "h5", "h6"))
+_TABLE_SECTIONS = frozenset(("tr", "thead", "tbody", "tfoot"))
+K_ELEMENTS_CLOSED_BY_OPENING: dict[str, frozenset[str]] = {
+    "li": frozenset(("li",)),
+    "p": _HEADINGS_AND_P,
+    "b": frozenset(("div",)),
+    "td": frozenset(("td", "th")),
+    "th": frozenset(("td", "th")),
+    "h1": _HEADINGS_AND_P,
+    "h2": _HEADINGS_AND_P,
+    "h3": _HEADINGS_AND_P,
+    "h4": _HEADINGS_AND_P,
+    "h5": _HEADINGS_AND_P,
+    "h6": _HEADINGS_AND_P,
+    "colgroup": _TABLE_SECTIONS,
+    "tr": _TABLE_SECTIONS,
+    "thead": _TABLE_SECTIONS,
+    "tbody": _TABLE_SECTIONS,
+    "tfoot": _TABLE_SECTIONS,
+    "ul": frozenset(("ul", "ol")),
+    "ol": frozenset(("ol", "ul")),
+    "aside": frozenset(("aside",)),
+    "nav": frozenset(("nav",)),
+    "form": frozenset(("form",)),
+    "header": frozenset(("header",)),
+    "footer": frozenset(("footer",)),
+    "main": frozenset(("main",)),
+}
+
+# reference src/index.ts:879-884 — kBlockTextElements (raw-text elements).
+K_BLOCK_TEXT_ELEMENTS = frozenset(("script", "noscript", "style", "pre"))
+
+
+class ParseMetrics:
+    """Per-document counters for lineage/metrics (target-side design)."""
+
+    __slots__ = ("n_nodes", "n_elements", "n_text", "n_comments", "n_fixups",
+                 "n_bytes", "valid")
+
+    def __init__(self) -> None:
+        self.n_nodes = 0
+        self.n_elements = 0
+        self.n_text = 0
+        self.n_comments = 0
+        self.n_fixups = 0
+        self.n_bytes = 0
+        self.valid = True
+
+
+def parse(
+    data: str,
+    options: Optional[dict] = None,
+    metrics: Optional[ParseMetrics] = None,
+) -> HTMLElement:
+    """Parse HTML, returning a fictive root element with ``valid`` set.
+
+    ``options`` mirrors the reference's ParsingOptions
+    (``lowerCaseTagName`` / ``script`` / ``style`` / ``pre`` / ``comment``;
+    the raw-text option lookup is by tag name, so a ``noscript`` key is also
+    honoured, matching the reference's ``options[match[2]]`` lookup at
+    src/index.ts:940).
+    """
+    opts = options or {}
+    lower_case = bool(opts.get("lowerCaseTagName"))
+    keep_comments = bool(opts.get("comment"))
+
+    root = HTMLElement("")
+    current = root
+    stack: list[HTMLElement] = [root]
+    last_text_pos = 0
+    pos = 0
+    data_len = len(data)
+    n_elements = 0
+    n_text = 0
+    n_comments = 0
+
+    search = KMARKUP.search
+    while pos <= data_len:
+        m = search(data, pos)
+        if m is None:
+            break
+        m_start = m.start()
+        m_end = m.end()
+        # Inter-tag text (reference src/index.ts:902-906).
+        if last_text_pos < m_start:
+            current.append_child(TextNode(data[last_text_pos:m_start]))
+            n_text += 1
+        last_text_pos = m_end
+        pos = m_end
+
+        # Comment branch (reference src/index.ts:911-919): match[0][1]=='!'.
+        if data[m_start + 1] == "!":
+            if keep_comments:
+                current.append_child(
+                    CommentNode(data[m_start + 4 : m_end - 3])
+                )
+                n_comments += 1
+            continue
+
+        tag = m.group("tag")
+        if lower_case:
+            tag = tag.lower() if tag else ""
+        is_closing = m.group("close") != ""
+        is_self_syntax = m.group("selfclose") != ""
+
+        # Opening-tag branch (reference src/index.ts:924-960).
+        if not is_closing:
+            if not is_self_syntax:
+                closed_by = K_ELEMENTS_CLOSED_BY_OPENING.get(current.tag_name)
+                if closed_by is not None and tag in closed_by:
+                    stack.pop()
+                    current = stack[-1] if stack else root
+            attrs = m.group("attrs")
+            current = current.append_child(
+                HTMLElement(tag or "", js_trim(attrs) if attrs else "")
+            )
+            n_elements += 1
+            stack.append(current)
+            if tag in K_BLOCK_TEXT_ELEMENTS:
+                # Raw-text fast-forward (reference src/index.ts:936-959):
+                # scan for the literal close markup; content becomes a single
+                # TextNode only when the matching option is enabled.
+                close_markup = "</" + tag + ">"
+                index = data.find(close_markup, pos)
+                if opts.get(tag):
+                    if index == -1:
+                        text = data[pos:]
+                    else:
+                        text = data[pos:index]
+                    if text:
+                        current.append_child(TextNode(text))
+                        n_text += 1
+                if index == -1:
+                    last_text_pos = pos = data_len + 1
+                else:
+                    last_text_pos = pos = index + len(close_markup)
+                    is_closing = True  # match[1] = 'true' (src/index.ts:957)
+
+        # Close / self-close branch (reference src/index.ts:962-991).
+        closing_tag = tag
+        if is_closing or is_self_syntax or closing_tag in K_SELF_CLOSING:
+            is_void = closing_tag in K_SELF_CLOSING
+            # Ignore explicit closing tags for void elements like </col>.
+            if is_closing and is_void:
+                continue
+            while True:
+                if current.tag_name == closing_tag:
+                    stack.pop()
+                    current = stack[-1] if stack else root
+                    break
+                elif len(stack) > 1:
+                    # Close unclosed child tag before closing the parent
+                    # (<a><b>text</a> closes <b> first).
+                    stack.pop()
+                    current = stack[-1] if stack else root
+                else:
+                    break
+
+    # Trailing text (reference src/index.ts:995-998) — appended to *root*.
+    if last_text_pos < data_len:
+        root.append_child(TextNode(data[last_text_pos:]))
+        n_text += 1
+
+    # Malformed-HTML repair (reference src/index.ts:1000-1026).
+    root.valid = len(stack) == 1
+    n_fixups = 0
+    while len(stack) > 1:
+        n_fixups += 1
+        last = stack.pop()
+        one_before = stack[-1] if stack else root
+        parent = last.parent_node
+        if parent is not None and parent.parent_node is not None:
+            if parent is one_before and last.tag_name == one_before.tag_name:
+                # Pair error <h3><h3> -> <h3></h3>: second's children move to
+                # the grandparent; both treated closed (extra stack pop).
+                one_before.remove_child(last)
+                grandparent = one_before.parent_node
+                for child in last.child_nodes:
+                    grandparent.append_child(child)
+                if stack:
+                    stack.pop()
+            else:
+                # Single error <div><h3></div>: <h3> removed, children
+                # reattached to its parent.
+                one_before.remove_child(last)
+                for child in last.child_nodes:
+                    one_before.append_child(child)
+        # else: top-level leftover — just skip.
+
+    if metrics is not None:
+        metrics.n_elements = n_elements
+        metrics.n_text = n_text
+        metrics.n_comments = n_comments
+        metrics.n_nodes = n_elements + n_text + n_comments
+        metrics.n_fixups = n_fixups
+        metrics.n_bytes = data_len
+        metrics.valid = root.valid
+    return root
