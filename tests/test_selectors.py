@@ -1,0 +1,274 @@
+"""Ported selector tests (reference test/html.test.ts:6-45,571-612 and
+test/attribute-operators.test.ts:1-270)."""
+from __future__ import annotations
+
+from node_html_parser_ray.kernel import HTMLElement, Matcher, parse
+
+
+class TestMatcher:
+    def test_cursor_advance_rewind_matched(self):
+        matcher = Matcher("#id .a a.b *.a.b .a.b * a")
+        star = HTMLElement("_")
+        with_id = HTMLElement("p", "id='id'")
+        with_cls = HTMLElement("a", "class='a b'")
+
+        assert not matcher.advance(star)
+        assert not matcher.advance(with_cls)
+        assert matcher.advance(with_id)  # #id
+
+        assert not matcher.advance(star)
+        assert not matcher.advance(with_id)
+        assert matcher.advance(with_cls)  # .a
+
+        assert not matcher.advance(star)
+        assert not matcher.advance(with_id)
+        assert matcher.advance(with_cls)  # a.b
+
+        assert not matcher.advance(with_id)
+        assert not matcher.advance(star)
+        assert matcher.advance(with_cls)  # *.a.b
+
+        assert not matcher.advance(with_id)
+        assert not matcher.advance(star)
+        assert matcher.advance(with_cls)  # .a.b
+
+        assert matcher.advance(with_id)  # *
+        matcher.rewind()
+        assert matcher.advance(star)  # *
+        matcher.rewind()
+        assert matcher.advance(with_cls)  # *
+
+        assert not matcher.advance(with_id)
+        assert not matcher.advance(star)
+        assert matcher.advance(with_cls)  # a
+
+        assert matcher.matched
+
+
+class TestQuerySelector:
+    def test_basic(self):
+        root = parse(
+            '<a id="id" data-id="myid"><div><span class="a b"></span><span></span><span></span></div></a>'
+        )
+        child_a = root.first_child
+        child_span = child_a.first_child.first_child
+        assert root.query_selector("#id") is child_a
+        assert root.query_selector("span.a") is child_span
+        assert root.query_selector("span.b") is child_span
+        assert root.query_selector("span.a.b") is child_span
+        assert root.query_selector("#id .b") is child_span
+        assert root.query_selector("#id span") is child_span
+        assert root.query_selector("[data-id=myid]") is child_a
+        assert root.query_selector('[data-id="myid"]') is child_a
+
+
+class TestQuerySelectorAll:
+    def test_basic(self):
+        root = parse(
+            '<a id="id"><div><span id="3" class="a b"></span><span></span><span></span></div></a>'
+        )
+        child = root.first_child
+        grand = child.first_child
+        assert root.query_selector_all("#id") == [child]
+        assert root.query_selector_all("span.a") == [grand.first_child]
+        assert root.query_selector_all("span.b") == [grand.first_child]
+        assert root.query_selector_all("span.a.b") == [grand.first_child]
+        assert root.query_selector_all("#id .b") == [grand.first_child]
+        assert root.query_selector_all("#id span") == grand.child_nodes
+        assert root.query_selector_all("#id, #id .b") == [child, grand.first_child]
+
+    def test_comma_union_dedup(self):
+        root = parse('<time class="date">')
+        assert root.query_selector_all("time,.date") == [root.first_child]
+
+    def test_nested_all(self):
+        assert len(parse("<div><div></div></div>").query_selector_all("div")) == 2
+
+    def test_preorder_result_order(self):
+        root = parse('<div id="1"><div id="2"></div><div id="3"></div></div>')
+        assert ",".join(d.id for d in root.query_selector_all("div")) == "1,2,3"
+
+
+class TestAttributeOperators:
+    def test_existence(self):
+        root = parse('<a href="https://example.com">Link</a><span>Text</span>')
+        assert root.query_selector("[href]").tag_name == "a"
+
+    def test_exact_match(self):
+        root = parse('<input type="text" name="username"><input type="email" name="email">')
+        assert root.query_selector('[type="text"]').attributes["type"] == "text"
+        assert root.query_selector('[type="email"]').attributes["type"] == "email"
+
+    def test_starts_with(self):
+        root = parse('<a href="https://example.com">H</a><a href="http://test.com">P</a>')
+        assert root.query_selector('[href^="https://"]').attributes["href"] == "https://example.com"
+        assert root.query_selector('[href^="http://"]').attributes["href"] == "http://test.com"
+
+    def test_ends_with(self):
+        root = parse('<a href="https://example.com">1</a><a href="https://test.org">2</a>')
+        assert root.query_selector('[href$=".com"]').attributes["href"] == "https://example.com"
+        assert root.query_selector('[href$=".org"]').attributes["href"] == "https://test.org"
+
+    def test_dot_in_attr_value_not_class(self):
+        root = parse('<a href="https://example.com">W</a><span class="com">N</span>')
+        result = root.query_selector('[href$=".com"]')
+        assert result.tag_name == "a"
+        assert result.attributes.get("class") is None
+
+    def test_contains(self):
+        root = parse('<div class="btn-primary">1</div><div class="btn-secondary">2</div>')
+        assert root.query_selector('[class*="primary"]').attributes["class"] == "btn-primary"
+        assert root.query_selector('[class*="secondary"]').attributes["class"] == "btn-secondary"
+
+    def test_not_equal(self):
+        root = parse('<input type="text" name="username"><input type="hidden" name="token">')
+        assert root.query_selector('[type!="hidden"]').attributes["type"] == "text"
+        assert root.query_selector('[type!="text"]').attributes["type"] == "hidden"
+
+    def test_hyphen(self):
+        root = parse('<span lang="en">E</span><span lang="en-US">A</span><span lang="fr">F</span>')
+        ens = root.query_selector_all('[lang|="en"]')
+        assert len(ens) == 2
+        assert ens[0].attributes["lang"] == "en"
+        assert ens[1].attributes["lang"] == "en-US"
+
+    def test_word(self):
+        root = parse('<div class="btn primary large">B</div><div class="secondary small">O</div>')
+        assert root.query_selector('[class~="primary"]').attributes["class"] == "btn primary large"
+        assert root.query_selector('[class~="large"]').attributes["class"] == "btn primary large"
+
+    def test_multiple_attrs(self):
+        root = parse('<input type="email" name="user-email" required>')
+        result = root.query_selector('input[type="email"][required]')
+        assert result.attributes["type"] == "email"
+        assert result.attributes["required"] == ""
+
+    def test_complex_selector(self):
+        root = parse('<a href="tel:+1234567890" class="phone-link" id="phone1">P</a>')
+        result = root.query_selector('a.phone-link#phone1[href^="tel:"]')
+        assert result is not None
+        assert result.tag_name == "a"
+        assert result.attributes["href"] == "tel:+1234567890"
+        assert result.id == "phone1"
+
+    def test_empty_attr_values(self):
+        root = parse('<input value="" required class="">')
+        assert root.query_selector('[value=""]') is not None
+        assert root.query_selector("[required]") is not None
+        assert root.query_selector('[class=""]') is not None
+        assert root.query_selector('[value^=""]') is not None
+        assert root.query_selector('[value$=""]') is not None
+        assert root.query_selector('[value*=""]') is not None
+
+    def test_special_chars_and_dots(self):
+        root = parse('<div data-test="hello.world-test_123" data-url="https://site.com/path.html">C</div>')
+        assert root.query_selector('[data-test^="hello."]') is not None
+        assert root.query_selector('[data-test$="_123"]') is not None
+        assert root.query_selector('[data-test*="world-test"]') is not None
+        assert root.query_selector('[data-url$=".html"]') is not None
+        assert root.query_selector('[data-url*=".com"]') is not None
+
+    def test_multi_attrs_complex_values(self):
+        root = parse('<input type="email" name="user-email" data-validation="email.required" required>')
+        result = root.query_selector('input[type="email"][name^="user"][data-validation*=".required"][required]')
+        assert result is not None
+        assert result.attributes["data-validation"] == "email.required"
+
+    def test_case_sensitivity(self):
+        root = parse('<div class="Test" data-value="CamelCase">C</div>')
+        assert root.query_selector('[class="Test"]') is not None
+        assert root.query_selector('[CLASS="Test"]') is None
+        assert root.query_selector('[class="test"]') is None
+        assert root.query_selector('[data-value^="Camel"]') is not None
+        assert root.query_selector('[data-value^="camel"]') is None
+
+    def test_whitespace_in_values(self):
+        root = parse('<div class=" btn  primary " title="  Hello World  ">C</div>')
+        assert root.query_selector('[title^="  Hello"]') is not None
+
+    def test_hyphen_edge_cases(self):
+        root = parse(
+            '<span lang="en">E</span><span lang="en-US">A</span>'
+            '<span lang="en-GB-scotland">S</span><span lang="english">N</span>'
+            '<span lang="fr">F</span>'
+        )
+        ens = root.query_selector_all('[lang|="en"]')
+        assert len(ens) == 3
+        assert root.query_selector('[lang|="english"]') is not None
+        assert all(el.attributes["lang"] != "english" for el in ens)
+
+    def test_word_edge_cases(self):
+        root = parse(
+            '<div class="btn primary large">Button 1</div>'
+            '<div class="btn secondary">Button 2</div>'
+            '<div class="primary-btn">Button 3</div>'
+            '<div class="btn-primary">Button 4</div>'
+        )
+        assert len(root.query_selector_all('[class~="btn"]')) == 2
+        assert root.query_selector_all('[class~="primary"]')[0].text == "Button 1"
+        assert root.query_selector('[class~="primary-btn"]').text == "Button 3"
+        assert root.query_selector('[class~="btn-primary"]').text == "Button 4"
+
+    def test_quoted_values_in_selectors(self):
+        root = parse('<div data-test=\'value with "quotes"\' title="value with \'apostrophes\'">C</div>')
+        assert root.query_selector('[data-test*="quotes"]') is not None
+        assert root.query_selector('[title*="apostrophes"]') is not None
+
+    def test_nonexistent_attrs(self):
+        root = parse('<div class="test">C</div>')
+        assert root.query_selector("[id]") is None
+        assert root.query_selector('[id=""]') is None
+        assert root.query_selector('[id^="test"]') is None
+        assert root.query_selector('[nonexistent*="anything"]') is None
+        assert root.query_selector('[data-missing~="word"]') is None
+
+    def test_complex_nested(self):
+        root = parse(
+            '<article class="post"><header><h1 class="title">Post Title</h1></header>'
+            '<div class="content"><p data-paragraph="1">First</p><p data-paragraph="2">Second</p>'
+            '<a href="https://example.com" target="_blank" rel="noopener">Ext</a>'
+            '<a href="/internal.html" class="internal">Int</a></div></article>'
+        )
+        assert root.query_selector('article.post [data-paragraph="1"]') is not None
+        assert root.query_selector('.content a[href^="https://"][target="_blank"]') is not None
+        assert root.query_selector('a[href$=".html"][class="internal"]') is not None
+        assert len(root.query_selector_all("article [data-paragraph]")) == 2
+        assert len(root.query_selector_all(".content a[href]")) == 2
+
+    def test_non_matching_complex(self):
+        root = parse('<a href="https://example.com" class="link">W</a>')
+        assert root.query_selector('a[href^="invalid:"]') is None
+        assert root.query_selector('a[href$="invalid"]') is None
+        assert root.query_selector('a[href*="invalid"]') is None
+        assert root.query_selector('a[class~="invalid"]') is None
+        assert root.query_selector('a[href^="https://"][class="invalid"]') is None
+
+    def test_spaces_in_attr_values_with_descendants(self):
+        root = parse(
+            '<div title="Hello World" class="container">'
+            '<p data-text="Multi word value">Content</p>'
+            '<span alt="Some description here">Text</span></div>'
+        )
+        assert root.query_selector('div[title="Hello World"] p[data-text="Multi word value"]') is not None
+        assert root.query_selector('div[title="Hello World"] span[alt="Some description here"]') is not None
+        assert root.query_selector('div[title="Hello"] p') is None
+        assert root.query_selector('div p[data-text="Multi"]') is None
+
+
+class TestBrokenHtml:
+    def test_missing_close_tags(self):
+        missing = (
+            '<table id="liste">\n<span id="nbResultats">Nombre : 3308</span><br>\n'
+            "<tr style='border: 1px solid #ddd'>\n<td><a class=\"lien-bouton\" href=\"/detail/0441111U\"><b>E1\n<br>\nABBARETZ (44)\n<br>\n</a>\n</td>\n</tr>\n"
+            "<tr style='border: 1px solid #ddd'>\n<td><a class=\"lien-bouton\" href=\"/detail/0441527W\"><b>E2\n<br>\nABBARETZ (44)\n<br>\n</a>\n</td>\n</tr>\n</table>"
+        )
+        assert len(parse(missing).query_selector_all("tr")) == 2
+
+    def test_missing_space_between_attrs(self):
+        root = parse(
+            '<body>\n  <div class="a"data-test="/test.jpg"></div>\n'
+            '  <div class="b"style="background-image:url(\'test.jpg\')"></div>\n</body>'
+        )
+        assert len(root.children[0].children) == 2
+        assert root.children[0].children[0].attributes["data-test"] == "/test.jpg"
+        assert root.children[0].children[1].attributes["style"] == "background-image:url('test.jpg')"
