@@ -1,0 +1,124 @@
+"""Flagship extraction pipeline: read -> parse/extract -> partitioned write.
+
+Target equivalent of SURVEY.md §3.1: ``read_parquet`` (Lance in prod) ->
+``map_batches(extract_batch, batch_format="pyarrow")`` -> partitioned write
+with shard-granular checkpointing (state/manifest.py) and per-partition
+metrics.  The pipeline is shuffle-free: spans are ordered *within* each row
+(list column), so no sort/groupby touches the document stream; only the tiny
+per-shard metrics aggregate reads written data (column-pruned).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow.parquet as pq
+
+from ..stages.extract_stage import add_partition_column, make_extract_batch
+from ..state.manifest import ShardManifest
+
+__all__ = ["build_extraction_dataset", "run_checkpointed", "DEFAULT_BATCH_SIZE"]
+
+# Modest batch size so a batch of multi-MB giant docs stays well under the
+# object-store slice (SURVEY.md §4 memory row); Ray's dynamic block splitting
+# handles the output side.
+DEFAULT_BATCH_SIZE = 64
+
+
+def build_extraction_dataset(
+    input_path,
+    options: Optional[dict] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    num_partitions: int = 64,
+    with_partition_column: bool = False,
+):
+    """Lazy Dataset: interleaved docs -> extracted spans (streaming)."""
+    import ray
+
+    ds = ray.data.read_parquet(input_path)
+    ds = ds.map_batches(
+        make_extract_batch(options),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if with_partition_column:
+        ds = ds.map_batches(
+            lambda b: add_partition_column(b, num_partitions),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    return ds
+
+
+def _aggregate_shard_metrics(shard_out_dir: str) -> dict:
+    """Column-pruned metrics read-back from written output (cheap)."""
+    table = pq.read_table(shard_out_dir, columns=["valid", "metrics"])
+    metrics = table.column("metrics")
+    import pyarrow.compute as pc
+
+    def s(field):
+        return pc.sum(metrics.combine_chunks().field(field)).as_py() or 0
+
+    n_valid = pc.sum(pc.cast(table.column("valid"), "int64")).as_py() or 0
+    return {
+        "n_docs": len(table),
+        "n_valid": n_valid,
+        "n_invalid": len(table) - n_valid,
+        "n_nodes": s("n_nodes"),
+        "n_fixups": s("n_fixups"),
+        "n_bytes": s("n_bytes"),
+        "n_spans": s("n_spans"),
+    }
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    shard_count: int = 8,
+    options: Optional[dict] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> dict:
+    """Run the extraction over input files with shard-granular resume.
+
+    Input files are grouped into ``shard_count`` shards; each shard streams
+    through the pipeline and commits a manifest entry with lineage metrics.
+    Already-committed shards are skipped at the source scan.  Returns the
+    run summary (shards run/skipped + aggregate metrics).
+    """
+    import ray
+
+    manifest = ShardManifest(out_dir)
+    shards: list[list[str]] = [[] for _ in range(shard_count)]
+    for i, path in enumerate(sorted(input_files)):
+        shards[i % shard_count].append(path)
+
+    ran, skipped = [], []
+    for shard_id, files in enumerate(shards):
+        if not files:
+            continue
+        if manifest.is_complete(shard_id):
+            skipped.append(shard_id)
+            continue
+        shard_out = os.path.join(out_dir, f"shard={shard_id:06d}")
+        ds = ray.data.read_parquet(files)
+        ds = ds.map_batches(
+            make_extract_batch(options),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        # overwrite any partial output from a crashed run (idempotent commit)
+        if os.path.isdir(shard_out):
+            import shutil
+
+            shutil.rmtree(shard_out)
+        ds.write_parquet(shard_out)
+        metrics = _aggregate_shard_metrics(shard_out)
+        manifest.commit(shard_id, files, metrics["n_docs"], metrics)
+        ran.append(shard_id)
+
+    lineage = manifest.lineage()
+    total = {
+        k: sum(r["metrics"].get(k, 0) for r in lineage)
+        for k in ("n_docs", "n_valid", "n_invalid", "n_nodes", "n_fixups", "n_bytes", "n_spans")
+    }
+    return {"ran": ran, "skipped": skipped, "totals": total, "lineage": lineage}

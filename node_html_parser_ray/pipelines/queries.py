@@ -1,0 +1,512 @@
+"""Driver-facing query registry: one entry per operator family (SURVEY.md §2)
+plus the large-scale training-data operators, with DuckDB oracle SQL where
+the semantics are SQL-expressible.
+
+Every callable takes ``sf_dir`` and returns a Dataset / pyarrow Table.
+Column names match the oracle SQL exactly (the driver's compare sorts
+columns by name before hashing values).
+
+Ray is initialised by the driver before these run — nothing here calls
+``ray.init``.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import classify, dedup, extract_stage, selector_stage, similarity, textstats
+from ..stages.multimodal import MediaDecodeStage, fake_payload_batch
+
+__all__ = ["QUERIES", "ORACLE_SQL", "entry_pipeline"]
+
+
+def _docs(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HTML synthesis from the provided documents table: the driver
+# testdata has no markup, so HTML-semantic queries wrap each document's text
+# in templates chosen by doc_id (stable across Ray and SQL sides).
+# ---------------------------------------------------------------------------
+
+
+def _wrap_html_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, html): text in a div + per-doc img tag."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    htmls = [
+        f'<div class="c">{t}</div><img src="/img/{d}.png" alt="">'
+        for d, t in zip(doc_ids, texts)
+    ]
+    return pa.Table.from_arrays(
+        [pa.array([str(d) for d in doc_ids], pa.string()),
+         pa.array(htmls, pa.large_string())],
+        names=["doc_id", "html"],
+    )
+
+
+def _interleaved_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> interleaved input spans (html + media), deterministic."""
+    from ..sources.corpus import INPUT_SCHEMA
+
+    rows = []
+    for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+        did = str(d)
+        n_media = int(d) % 3
+        spans = [
+            {"kind": "html", "text": f'<section><h1>t{did}</h1><p>{t}</p>', "media_ref": "", "offset": 0},
+        ]
+        off = 1
+        for k in range(n_media):
+            spans.append(
+                {"kind": ("image", "video", "embed")[k], "text": f"cap{k}",
+                 "media_ref": f"media://{did}/{k}", "offset": off}
+            )
+            off += 1
+        spans.append({"kind": "html", "text": "<p>tail</p></section>", "media_ref": "", "offset": off})
+        rows.append({"doc_id": did, "spans": spans})
+    return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+
+
+# --------------------------- oracle-checked queries ------------------------
+
+
+def q_structured_text(sf_dir: str):
+    """structuredText of each document's payload (plain text -> one block)."""
+    import ray
+
+    from ..kernel.parser import parse
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        out = [parse(t).structured_text for t in texts]
+        return pa.Table.from_arrays(
+            [doc_ids, pa.array(out, pa.string())], names=["doc_id", "s_text"]
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_media_refs(sf_dir: str):
+    """Parse synthesized HTML, extract the img media_ref per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = extract_stage.extract_batch(_wrap_html_batch(batch))
+        doc_ids = out.column("doc_id").to_pylist()
+        refs = []
+        for row in out.column("spans").to_pylist():
+            media = [s["media_ref"] for s in row if s["kind"] == "image"]
+            refs.append(media[0] if media else "")
+        return pa.Table.from_arrays(
+            [pa.array([int(d) for d in doc_ids], pa.int64()),
+             pa.array(refs, pa.string())],
+            names=["doc_id", "media_ref"],
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_text_spans(sf_dir: str):
+    """Text spans of '<p>text</p><p>tail</p>': count + first-span text."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        htmls = [f"<p>{t}</p><p>tail</p>" for t in texts]
+        wrapped = pa.Table.from_arrays(
+            [pa.array([str(d) for d in doc_ids], pa.string()),
+             pa.array(htmls, pa.large_string())],
+            names=["doc_id", "html"],
+        )
+        out = extract_stage.extract_batch(wrapped)
+        n_spans = []
+        first_text = []
+        for row in out.column("spans").to_pylist():
+            text_spans = [s for s in row if s["kind"] == "text"]
+            n_spans.append(len(text_spans))
+            first_text.append(text_spans[0]["text"] if text_spans else "")
+        return pa.Table.from_arrays(
+            [pa.array([int(d) for d in doc_ids], pa.int64()),
+             pa.array(n_spans, pa.int64()),
+             pa.array(first_text, pa.string())],
+            names=["doc_id", "n_text_spans", "first_span"],
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_stats_by_lang(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    g = _docs(sf_dir).groupby("lang").aggregate(Count(), Sum("n_chars"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lang", "n_docs", "sum_chars"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textstats.token_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(textstats.langid_batch, batch_format="pyarrow")
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: hash-partitioned groupby on content hash, keep first.
+
+    The shuffle key is the 8-byte hash, not the document text.
+    """
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir).map_batches(dedup.add_text_hash, batch_format="pyarrow")
+    g = ds.groupby("text_hash").aggregate(Min("doc_id"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["text_hash", "keeper_id", "dup_count"])
+        return batch.select(["keeper_id", "dup_count"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type (pre-aggregated).
+
+    Partial aggregation inside map_batches (combiner) BEFORE the groupby so
+    the shuffle moves one row per (type, window, block), not per event.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .agg(part_n=("value", "size"), part_sum=("value", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("part_n"), Sum("part_sum"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["event_type", "window_start", "n_events", "sum_raw"])
+        milli = pc.cast(pc.round(pc.multiply(batch.column("sum_raw"), 1000.0)), pa.int64())
+        ws = pc.strftime(batch.column("window_start"), format="%Y-%m-%d %H:%M:%S")
+        return pa.Table.from_arrays(
+            [batch.column("event_type"), ws, pc.cast(batch.column("n_events"), pa.int64()), milli],
+            names=["event_type", "window_start", "n_events", "sum_value_milli"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector (broadcast)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path)
+    # small-side lookup: read the single query vector directly (no Ray scan),
+    # broadcast it once with ray.put
+    qt = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)])
+    q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
+    q_ref = ray.put(q)
+    candidates = ds.map_batches(
+        similarity.TopKCosine,
+        fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    # global top-k over the small per-block candidate set
+    table = candidates.to_arrow_refs()
+    import ray as _ray
+
+    merged = pa.concat_tables([_ray.get(r) for r in table])
+    idx = sorted(
+        range(len(merged)),
+        key=lambda i: (-merged.column("cosine")[i].as_py(), merged.column("vec_id")[i].as_py()),
+    )[:10]
+    ranks = list(range(1, len(idx) + 1))
+    return pa.Table.from_arrays(
+        [
+            pa.array(ranks, pa.int64()),
+            pa.array([merged.column("vec_id")[i].as_py() for i in idx], pa.int64()),
+        ],
+        names=["rank", "vec_id"],
+    )
+
+
+# --------------------------- rows-only queries -----------------------------
+
+
+def q_extract_interleaved(sf_dir: str):
+    """Flagship: interleaved docs -> extracted spans (rows-only check)."""
+    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n_spans = pc.list_value_length(batch.column("spans"))
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_spans, pa.int64()),
+                batch.column("valid"),
+                batch.column("metrics").combine_chunks().field("n_fixups"),
+            ],
+            names=["doc_id", "n_spans", "valid", "n_fixups"],
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_selectors(sf_dir: str):
+    """SelectorStage actor pool over synthesized HTML docs (rows-only)."""
+    selectors = ["div.c", "img", "[src^=\"/img/\"]", "div.c img, .missing", "*"]
+    ds = _docs(sf_dir).map_batches(_wrap_html_batch, batch_format="pyarrow")
+    return ds.map_batches(
+        selector_stage.SelectorStage,
+        fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "selector", "n_matches"])
+
+
+def q_boilerplate(sf_dir: str):
+    """Boilerplate classifier actor pool (rows-only)."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        htmls = [
+            '<nav><a href="/">home</a><a href="/x">links</a></nav>'
+            f'<article><p>{t}</p></article>'
+            '<footer><a href="/c">contact</a></footer>'
+            for t in texts
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string()), pa.array(htmls, pa.large_string())],
+            names=["doc_id", "html"],
+        )
+
+    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    return ds.map_batches(
+        classify.BoilerplateClassifier,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "n_content_blocks", "n_boilerplate_blocks"])
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification."""
+    import ray
+
+    ds = _docs(sf_dir).map_batches(
+        lambda b: dedup.minhash_signatures_batch(b), batch_format="pyarrow"
+    )
+    bands = ds.map_batches(dedup.lsh_band_rows, batch_format="pyarrow")
+    pairs = bands.groupby("band_key").map_groups(
+        dedup.bucket_candidate_pairs, batch_format="pandas"
+    )
+    # dedup candidate pairs across bands
+    from ray.data.aggregate import Count
+
+    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_a", "doc_b", "n_bands"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+
+
+def q_fingerprints(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        textstats.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding near-dup via hyperplane LSH buckets (rows-only)."""
+    import ray
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # bucket assignment is batch-local, so the bucket column rides along with
+    # the vector — only the groupby shuffles
+    with_vec = ds.map_batches(
+        lambda b: similarity.hyperplane_bucket_batch(b, n_planes=8).append_column(
+            "embedding", b.column("embedding")
+        ),
+        batch_format="pyarrow",
+    )
+    return with_vec.groupby("bucket").map_groups(
+        lambda g: similarity.embedding_neardup_pairs(g, threshold=0.9),
+        batch_format="pandas",
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: media refs -> fake payload -> decode stage."""
+
+    def refs(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_arrays(
+            [
+                pa.array([f"media://{d}/0" for d in doc_ids], pa.string()),
+                pa.array(["image"] * len(doc_ids), pa.string()),
+            ],
+            names=["media_ref", "kind"],
+        )
+
+    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    return ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=2
+    ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
+
+
+QUERIES = {
+    "structured_text": q_structured_text,
+    "media_refs": q_media_refs,
+    "text_spans": q_text_spans,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "token_counts": q_token_counts,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "events_hourly": q_events_hourly,
+    "ann_topk": q_ann_topk,
+    "extract_interleaved": q_extract_interleaved,
+    "selectors": q_selectors,
+    "boilerplate": q_boilerplate,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash": q_simhash,
+    "fingerprints": q_fingerprints,
+    "embedding_neardup": q_embedding_neardup,
+    "media_features": q_media_features,
+}
+
+# DuckDB oracles (tables pre-registered as views).  RE2 regex on both sides
+# (pyarrow.compute and DuckDB both use RE2), so counts agree exactly.
+_STOP_RE = r"\b(the|a|of|and|to|in|is|it|that|for)\b"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+ORACLE_SQL = {
+    "structured_text": r"""
+        SELECT doc_id,
+               regexp_replace(
+                 trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                 '[ \t\n\r\x0b\x0c]{2,}', ' ', 'g') AS s_text
+        FROM documents
+    """,
+    "media_refs": r"""
+        SELECT doc_id, '/img/' || CAST(doc_id AS VARCHAR) || '.png' AS media_ref
+        FROM documents
+    """,
+    "text_spans": r"""
+        SELECT doc_id,
+               CAST(CASE WHEN regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+                    THEN 1 ELSE 2 END AS BIGINT) AS n_text_spans,
+               CASE WHEN regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+                    THEN 'tail'
+                    ELSE regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g')
+               END AS first_span
+        FROM documents
+    """,
+    "doc_stats_by_lang": """
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    "token_counts": rf"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+               CAST(length(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_text
+        FROM documents
+    """,
+    "quality": rf"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+               CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+               CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+               CAST(length(regexp_extract_all(text, '{_STOP_RE}')) AS BIGINT) AS n_stop
+        FROM documents
+    """,
+    "lang_id": r"""
+        WITH scores AS (
+          SELECT doc_id,
+            CAST(length(regexp_extract_all(text, '\b(the|and|of|to|is|that|with|for)\b')) AS BIGINT) AS s_en,
+            CAST(length(regexp_extract_all(text, '\b(le|la|les|des|une?|est|avec|pour)\b')) AS BIGINT) AS s_fr,
+            CAST(length(regexp_extract_all(text, '\b(der|die|das|und|ist|mit|für|ein)\b')) AS BIGINT) AS s_de,
+            CAST(length(regexp_extract_all(text, '\b(el|los|las|una?|es|con|para|que)\b')) AS BIGINT) AS s_es,
+            CAST(length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                    WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                    WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS pred_lang,
+               greatest(s_en, s_fr, s_de, s_es, s_zh) AS lang_score
+        FROM scores
+    """,
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+        FROM events GROUP BY 1, 2
+    """,
+    "ann_topk": """
+        SELECT CAST(row_number() OVER (
+                 ORDER BY list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id) AS BIGINT) AS rank,
+               vec_id
+        FROM embeddings
+        WHERE vec_id <> 0
+        QUALIFY rank <= 10
+    """,
+}
+
+
+def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship pipeline for the driver smoke check: interleaved extraction."""
+    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    return ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")

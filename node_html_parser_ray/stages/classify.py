@@ -1,0 +1,135 @@
+"""Boilerplate classifier: structure/text-density features over isBlock.
+
+north_star clause: "boilerplate classifiers keyed on structure/text density".
+Per document, every block-level element (the reference's 40-entry blockTags
+list, src/index.ts:1030-1071, via :func:`kernel.dom.is_block`) becomes a
+candidate region scored by text density (text length vs link-text length and
+tag count — the classic content-extraction heuristic).  Regions above the
+density threshold are "content"; the rest is boilerplate.
+
+Stateful stage: thresholds + compiled structures live on the actor
+(``map_batches(BoilerplateClassifier(...), concurrency=N)``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from ..kernel.dom import ELEMENT_NODE, HTMLElement, is_block
+from ..kernel.extract import assemble_document
+from ..kernel.parser import parse
+
+__all__ = ["BoilerplateClassifier", "CLASSIFY_OUTPUT_SCHEMA"]
+
+CLASSIFY_OUTPUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("main_text", pa.large_string()),
+        ("n_content_blocks", pa.int32()),
+        ("n_boilerplate_blocks", pa.int32()),
+        ("content_ratio", pa.float64()),
+    ]
+)
+
+_BOILERPLATE_TAGS = frozenset(("nav", "header", "footer", "aside", "form"))
+
+
+def _block_features(el: HTMLElement) -> tuple[int, int, int]:
+    """(text_len, link_text_len, n_elements) for a block element's subtree."""
+    text_len = 0
+    link_len = 0
+    n_elements = 0
+    stack: list[tuple[object, bool]] = [(el, False)]
+    while stack:
+        node, in_link = stack.pop()
+        if node.node_type == ELEMENT_NODE:
+            n_elements += 1
+            child_in_link = in_link or node.tag_name == "a"
+            stack.extend((c, child_in_link) for c in node.child_nodes)
+        elif node.node_type == 3:  # text
+            n = len(node.value.strip())
+            text_len += n
+            if in_link:
+                link_len += n
+    return text_len, link_len, n_elements
+
+
+class BoilerplateClassifier:
+    """Label top-level block regions content vs boilerplate; emit main text."""
+
+    def __init__(
+        self,
+        min_text_len: int = 25,
+        max_link_density: float = 0.5,
+        options: Optional[dict] = None,
+    ) -> None:
+        self.min_text_len = min_text_len
+        self.max_link_density = max_link_density
+        self.options = options
+
+    def _classify_doc(self, root: HTMLElement) -> tuple[str, int, int]:
+        content_parts: list[str] = []
+        n_content = 0
+        n_boiler = 0
+        # candidate regions: maximal block elements (block elements whose
+        # parent chain up to root contains no smaller enclosing decision);
+        # we walk top-down and stop descending once a block is classified.
+        stack = [c for c in reversed(root.child_nodes) if c.node_type == ELEMENT_NODE]
+        while stack:
+            el = stack.pop()
+            if is_block(el):
+                text_len, link_len, n_el = _block_features(el)
+                link_density = (link_len / text_len) if text_len else 1.0
+                if el.tag_name.lower() in _BOILERPLATE_TAGS:
+                    n_boiler += 1
+                elif text_len >= self.min_text_len and link_density <= self.max_link_density:
+                    # content region: take its structured text, do not descend
+                    st = el.structured_text
+                    if st:
+                        content_parts.append(st)
+                    n_content += 1
+                    continue
+                else:
+                    n_boiler += 1
+            stack.extend(
+                c for c in reversed(el.child_nodes) if c.node_type == ELEMENT_NODE
+            )
+        return "\n".join(content_parts), n_content, n_boiler
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        if "spans" in batch.column_names:
+            htmls = [
+                assemble_document(
+                    [s["kind"] for s in row],
+                    [s["text"] for s in row],
+                    [s["media_ref"] for s in row],
+                    [s["offset"] for s in row],
+                )[0]
+                for row in batch.column("spans").to_pylist()
+            ]
+        else:
+            htmls = batch.column("html").to_pylist()
+        out_text: list[str] = []
+        out_nc: list[int] = []
+        out_nb: list[int] = []
+        out_ratio: list[float] = []
+        for html in htmls:
+            root = parse(html, self.options)
+            main_text, n_content, n_boiler = self._classify_doc(root)
+            out_text.append(main_text)
+            out_nc.append(n_content)
+            out_nb.append(n_boiler)
+            total = n_content + n_boiler
+            out_ratio.append(n_content / total if total else 0.0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                pa.array(out_text, pa.large_string()),
+                pa.array(out_nc, pa.int32()),
+                pa.array(out_nb, pa.int32()),
+                pa.array(out_ratio, pa.float64()),
+            ],
+            schema=CLASSIFY_OUTPUT_SCHEMA,
+        )

@@ -1,0 +1,213 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (north_rule):
+
+* Exact dedup is the canonical hash-partition pattern: a cheap vectorized
+  hash column, then ONE ``groupby(hash)`` shuffle keyed on the hash (not the
+  full text — the shuffle moves 8-byte keys, not documents), keeping the
+  first doc_id per group.
+* MinHash signatures are computed fully vectorized in numpy (perm matrix ×
+  shingle hash vector, min over shingles). LSH banding turns near-dup search
+  into ``flat_map`` (emit band keys) + ``groupby(band_key)`` — candidate
+  pairs only ever meet inside a band group, so no all-pairs join exists
+  anywhere.  Band keys are uniformly distributed by construction, so this
+  shuffle is skew-free.
+* SimHash embeds each doc as a 64-bit code; near-dup candidates = equal
+  16-bit chunk (4 bands) — same groupby pattern.
+"""
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "add_text_hash",
+    "keep_first_in_group",
+    "minhash_signatures_batch",
+    "lsh_band_rows",
+    "bucket_candidate_pairs",
+    "simhash_batch",
+    "simhash_band_rows",
+    "ngram_jaccard_pairs",
+    "MINHASH_PERMS",
+    "LSH_BANDS",
+]
+
+MINHASH_PERMS = 128
+LSH_BANDS = 32  # 32 bands x 4 rows
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+_PERM_B = _rng.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+
+
+def _to_i64(u: int) -> int:
+    """Wrap an unsigned 64-bit value into signed int64 range."""
+    u &= 0xFFFFFFFFFFFFFFFF
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append a stable 64-bit content hash (crc32 pair) for exact dedup."""
+    texts = batch.column(column).to_pylist()
+    hashes = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        data = (t or "").encode("utf-8", "surrogatepass")
+        hashes[i] = _to_i64((zlib.crc32(data) << 32) | zlib.crc32(data[::-1]))
+    return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
+
+
+def keep_first_in_group(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups combiner: keep the row with the smallest doc_id."""
+    idx = group["doc_id"].idxmin()
+    out = group.loc[[idx]].copy()
+    out["dup_count"] = np.int64(len(group))
+    return out
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hash the set of k-char shingles (crc32, C speed)."""
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) < k:
+        return np.array([zlib.crc32(data)], dtype=np.int64)
+    return np.fromiter(
+        {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)},
+        dtype=np.int64,
+    )
+
+
+def minhash_signatures_batch(
+    batch: pa.Table, text_column: str = "text", k: int = 5
+) -> pa.Table:
+    """Per-doc MinHash signature (MINHASH_PERMS x int64), fully vectorized.
+
+    signature[p] = min over shingles of (a_p * h + b_p) mod M.
+    """
+    texts = batch.column(text_column).to_pylist()
+    sigs = np.empty((len(texts), MINHASH_PERMS), dtype=np.int64)
+    for i, t in enumerate(texts):
+        h = _shingle_hashes(t or "", k)
+        # (P x S) = outer product mod M; min along shingles
+        vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+        sigs[i] = vals.min(axis=1)
+    sig_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(sigs.reshape(-1), pa.int64()), MINHASH_PERMS
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), sig_col], names=["doc_id", "minhash"]
+    )
+
+
+def lsh_band_rows(batch: pa.Table) -> pa.Table:
+    """flat_map: one row per (doc, band) with the band bucket key."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = (
+        batch.column("minhash")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(len(doc_ids), MINHASH_PERMS)
+    )
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    out_doc: list = []
+    out_band: list[int] = []
+    out_key: list[int] = []
+    for b in range(LSH_BANDS):
+        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        # stable band key: crc32 of the band bytes
+        for i, doc_id in enumerate(doc_ids):
+            out_doc.append(doc_id)
+            out_band.append(b)
+            out_key.append((b << 32) | zlib.crc32(chunk[i].tobytes()))
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_doc, batch.column("doc_id").type),
+            pa.array(out_band, pa.int32()),
+            pa.array(out_key, pa.int64()),
+        ],
+        names=["doc_id", "band", "band_key"],
+    )
+
+
+def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups over band buckets: emit candidate pairs (a < b)."""
+    docs = sorted(set(group["doc_id"]))
+    if len(docs) < 2:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=str), "doc_b": pd.Series(dtype=str)})
+    pairs = [(a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]]
+    return pd.DataFrame(
+        {"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]}
+    )
+
+
+def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """64-bit SimHash over whitespace tokens (weighted bit-vote)."""
+    texts = batch.column(text_column).to_pylist()
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        votes = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").split():
+            data = tok.encode("utf-8", "surrogatepass")
+            h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data[::-1]))
+            bits = np.unpackbits(
+                np.frombuffer(h.tobytes(), dtype=np.uint8)
+            ).astype(np.int64)
+            votes += 2 * bits - 1
+        code = np.packbits((votes > 0).astype(np.uint8))
+        out[i] = np.frombuffer(code.tobytes(), dtype=np.int64)[0]
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(out, pa.int64())],
+        names=["doc_id", "simhash"],
+    )
+
+
+def simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """flat_map: 4 x 16-bit chunks as near-dup bucket keys (Hamming<=3)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    codes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    out_doc: list[str] = []
+    out_key: list[int] = []
+    for b in range(4):
+        chunk = (codes >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        for doc_id, c in zip(doc_ids, chunk):
+            out_doc.append(doc_id)
+            out_key.append((b << 16) | int(c))
+    return pa.Table.from_arrays(
+        [pa.array(out_doc, pa.string()), pa.array(out_key, pa.int64())],
+        names=["doc_id", "band_key"],
+    )
+
+
+def ngram_jaccard_pairs(
+    group: pd.DataFrame, k: int = 5, threshold: float = 0.0
+) -> pd.DataFrame:
+    """map_groups verifier: exact k-shingle Jaccard for docs sharing a bucket.
+
+    Used as the verification stage after LSH banding; the group carries each
+    candidate's text so no join back to the corpus is needed.
+    """
+    rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+    docs = list(rows["doc_id"])
+    texts = list(rows["text"])
+    if len(docs) < 2:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=str), "doc_b": pd.Series(dtype=str),
+             "jaccard": pd.Series(dtype=float)}
+        )
+    shingles = [
+        {t[i : i + k] for i in range(max(len(t) - k + 1, 1))} for t in texts
+    ]
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(shingles[i] & shingles[j])
+            union = len(shingles[i] | shingles[j])
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                out_a.append(docs[i])
+                out_b.append(docs[j])
+                out_j.append(jac)
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})

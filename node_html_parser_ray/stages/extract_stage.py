@@ -1,0 +1,198 @@
+"""Flagship map_batches kernel: interleaved spans -> extracted span sequence.
+
+Stateless pure-CPU stage (reference semantics per row), so it runs as Ray
+*tasks*, not actors (SURVEY.md §2.1); all regexes compile at module import —
+once per Ray worker process.  Batch I/O is zero-copy Arrow
+(``batch_format="pyarrow"``); the output list<struct> column is built from
+flat arrays + offsets (no per-row Python object churn on the Arrow side).
+
+Output schema (per-row invariant, FIXTURES.md §2):
+
+    doc_id:  string
+    spans:   list<struct<kind, text, media_ref, order:int32>>
+    valid:   bool
+    metrics: struct<n_nodes,n_elements,n_text,n_comments,n_fixups:int32,
+                    n_bytes:int64, n_spans:int32>
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+import pyarrow as pa
+
+from ..kernel.extract import assemble_document, extract_spans
+from ..kernel.parser import ParseMetrics, parse
+
+__all__ = [
+    "OUT_SPAN_STRUCT",
+    "OUTPUT_SCHEMA",
+    "extract_batch",
+    "make_extract_batch",
+    "partition_ids",
+    "add_partition_column",
+]
+
+OUT_SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.large_string()),
+        ("media_ref", pa.string()),
+        ("order", pa.int32()),
+    ]
+)
+METRICS_STRUCT = pa.struct(
+    [
+        ("n_nodes", pa.int32()),
+        ("n_elements", pa.int32()),
+        ("n_text", pa.int32()),
+        ("n_comments", pa.int32()),
+        ("n_fixups", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("n_spans", pa.int32()),
+    ]
+)
+OUTPUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(OUT_SPAN_STRUCT)),
+        ("valid", pa.bool_()),
+        ("metrics", METRICS_STRUCT),
+    ]
+)
+
+
+def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
+    """Parse + extract every document in an Arrow batch.
+
+    Accepts either the interleaved input schema (doc_id, spans) or a plain
+    (doc_id, html) schema where the whole payload is one html span.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    if "spans" in batch.column_names:
+        span_rows = batch.column("spans").to_pylist()
+    else:
+        html_col = batch.column("html").to_pylist()
+        span_rows = [
+            [{"kind": "html", "text": h or "", "media_ref": "", "offset": 0}]
+            for h in html_col
+        ]
+
+    # flat builders for the list<struct> output column
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    orders: list[int] = []
+    offsets: list[int] = [0]
+    valids: list[bool] = []
+    m_nodes: list[int] = []
+    m_elements: list[int] = []
+    m_text: list[int] = []
+    m_comments: list[int] = []
+    m_fixups: list[int] = []
+    m_bytes: list[int] = []
+    m_spans: list[int] = []
+
+    metrics = ParseMetrics()
+    for row in span_rows:
+        html, media_map = assemble_document(
+            [s["kind"] for s in row],
+            [s["text"] for s in row],
+            [s["media_ref"] for s in row],
+            [s["offset"] for s in row],
+        )
+        root = parse(html, options, metrics=metrics)
+        spans = extract_spans(root, media_map)
+        for kind, text, ref, order in spans:
+            kinds.append(kind)
+            texts.append(text)
+            refs.append(ref)
+            orders.append(order)
+        offsets.append(len(kinds))
+        valids.append(root.valid)
+        m_nodes.append(metrics.n_nodes)
+        m_elements.append(metrics.n_elements)
+        m_text.append(metrics.n_text)
+        m_comments.append(metrics.n_comments)
+        m_fixups.append(metrics.n_fixups)
+        m_bytes.append(metrics.n_bytes)
+        m_spans.append(len(spans))
+
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, pa.string()),
+            pa.array(texts, pa.large_string()),
+            pa.array(refs, pa.string()),
+            pa.array(orders, pa.int32()),
+        ],
+        fields=list(OUT_SPAN_STRUCT),
+    )
+    spans_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
+    metrics_col = pa.StructArray.from_arrays(
+        [
+            pa.array(m_nodes, pa.int32()),
+            pa.array(m_elements, pa.int32()),
+            pa.array(m_text, pa.int32()),
+            pa.array(m_comments, pa.int32()),
+            pa.array(m_fixups, pa.int32()),
+            pa.array(m_bytes, pa.int64()),
+            pa.array(m_spans, pa.int32()),
+        ],
+        fields=list(METRICS_STRUCT),
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, pa.string()),
+            spans_col,
+            pa.array(valids, pa.bool_()),
+            metrics_col,
+        ],
+        schema=OUTPUT_SCHEMA,
+    )
+
+
+def make_extract_batch(options: Optional[dict] = None):
+    """Bind parsing options into a picklable batch function."""
+    if not options:
+        return extract_batch
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, options)
+
+    return _fn
+
+
+def partition_ids(doc_ids: list[str], num_partitions: int) -> list[int]:
+    """Stable hash-partition of doc_ids (crc32 — stable across runs/nodes)."""
+    return [zlib.crc32(d.encode()) % num_partitions for d in doc_ids]
+
+
+def add_partition_column(
+    batch: pa.Table,
+    num_partitions: int = 64,
+    giant_bytes: int = 1_000_000,
+    giant_partitions: int = 8,
+) -> pa.Table:
+    """Assign ``partition_id`` by doc_id hash, salting giant documents.
+
+    Documents whose assembled HTML exceeds ``giant_bytes`` are routed to a
+    dedicated partition range ``[num_partitions, num_partitions +
+    giant_partitions)`` so that the heavy tail cannot skew ordinary
+    partitions (north_rule skew clause).  Works on both input (sums html
+    span lengths) and output (uses metrics.n_bytes) schemas.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    base = partition_ids(doc_ids, num_partitions)
+    if "metrics" in batch.column_names:
+        sizes = batch.column("metrics").field("n_bytes").to_pylist()
+    elif "spans" in batch.column_names:
+        sizes = []
+        for row in batch.column("spans").to_pylist():
+            sizes.append(sum(len(s["text"]) for s in row if s["kind"] == "html"))
+    else:
+        sizes = [0] * len(doc_ids)
+    pids = [
+        num_partitions + (p % giant_partitions) if size > giant_bytes else p
+        for p, size in zip(base, sizes)
+    ]
+    return batch.append_column("partition_id", pa.array(pids, pa.int32()))

@@ -1,0 +1,107 @@
+"""Stateful selector stage: compiled CSS matchers on an actor pool.
+
+The reference compiles a Matcher per querySelector call
+(src/index.ts:651-685); at 10^12-doc scale the compile cost must be paid once
+per *worker*, not per document.  This stage is a callable class for
+``ds.map_batches(SelectorStage(selectors), concurrency=N, batch_size=B)``:
+the matcher cache is built in ``__init__`` (once per actor) and reused for
+every batch (north_star stateful-stage clause).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+
+from ..kernel.extract import assemble_document
+from ..kernel.parser import parse
+from ..kernel.selector import Matcher, _explore_all
+
+__all__ = ["SelectorStage", "SELECTOR_OUTPUT_SCHEMA"]
+
+SELECTOR_OUTPUT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("selector", pa.string()),
+        ("n_matches", pa.int32()),
+        ("matches", pa.list_(pa.large_string())),
+    ]
+)
+
+
+class SelectorStage:
+    """Evaluate a fixed selector set against every document in each batch.
+
+    Emits one row per (doc, selector): match count + matched elements'
+    decoded text (pre-order, exactly the reference's querySelectorAll result
+    order and comma-union dedup semantics).
+    """
+
+    def __init__(
+        self,
+        selectors: Sequence[str],
+        options: Optional[dict] = None,
+        emit_text: bool = True,
+    ) -> None:
+        # once per actor: compile every selector part
+        self.selectors = list(selectors)
+        self.compiled: list[tuple[str, list[Matcher]]] = [
+            (sel, [Matcher(p.strip()) for p in sel.split(",") if p.strip()])
+            for sel in self.selectors
+        ]
+        self.options = options
+        self.emit_text = emit_text
+
+    def _select_all(self, root, parts: list[Matcher]):
+        seen: dict[int, object] = {}
+        for matcher in parts:
+            matcher.reset()
+            for el in _explore_all(root, matcher.clone()):
+                if id(el) not in seen:
+                    seen[id(el)] = el
+        return list(seen.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        if "spans" in batch.column_names:
+            span_rows = batch.column("spans").to_pylist()
+            htmls = [
+                assemble_document(
+                    [s["kind"] for s in row],
+                    [s["text"] for s in row],
+                    [s["media_ref"] for s in row],
+                    [s["offset"] for s in row],
+                )[0]
+                for row in span_rows
+            ]
+        else:
+            htmls = batch.column("html").to_pylist()
+
+        out_doc: list[str] = []
+        out_sel: list[str] = []
+        out_n: list[int] = []
+        flat_matches: list[str] = []
+        offsets: list[int] = [0]
+        for doc_id, html in zip(doc_ids, htmls):
+            root = parse(html, self.options)
+            for sel, parts in self.compiled:
+                found = self._select_all(root, parts)
+                out_doc.append(doc_id)
+                out_sel.append(sel)
+                out_n.append(len(found))
+                if self.emit_text:
+                    flat_matches.extend(el.text for el in found)
+                offsets.append(len(flat_matches))
+        matches_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(flat_matches, pa.large_string()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, pa.string()),
+                pa.array(out_sel, pa.string()),
+                pa.array(out_n, pa.int32()),
+                matches_col,
+            ],
+            schema=SELECTOR_OUTPUT_SCHEMA,
+        )

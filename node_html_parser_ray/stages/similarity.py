@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the correctness baseline: the query matrix is
+broadcast ONCE via ``ray.put`` and read zero-copy in every task (never
+re-shipped per batch); each batch does one numpy matmul and emits only its
+local top-k candidates, so the driver-side final top-k merges
+``k × n_blocks`` rows, not the corpus.
+
+Scale path: LSH bucketing (random hyperplane signs -> bucket key) turns ANN
+into the same flat_map + groupby pattern as MinHash-LSH; buckets are compared
+brute-force internally.  An IVF variant would replace the random hyperplanes
+with k-means centroids learned on a sample — same plumbing.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "embedding_matrix",
+    "TopKCosine",
+    "hyperplane_bucket_batch",
+    "embedding_neardup_pairs",
+]
+
+
+def embedding_matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
+    """Zero-copy-ish extraction of a list<float> column to (n, d) float32."""
+    col = batch.column(column).combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(batch)
+    return flat.reshape(n, -1)
+
+
+class TopKCosine:
+    """Actor-pool stage: per-batch cosine top-k against broadcast queries.
+
+    ``query_ref`` is a ``ray.ObjectRef`` to a (q, d) float32 matrix put once
+    with ``ray.put`` — each actor resolves it once in ``__init__``.
+    """
+
+    def __init__(self, query_ref, k: int = 10, id_column: str = "vec_id",
+                 exclude_ids=None) -> None:
+        import ray
+
+        q = ray.get(query_ref) if hasattr(query_ref, "hex") else np.asarray(query_ref)
+        q = q.astype(np.float32)
+        self.k = k
+        self.id_column = id_column
+        self.exclude = set(exclude_ids or ())
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.q_normed = q / norms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        emb = embedding_matrix(batch)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        emb = emb / norms
+        cos = emb @ self.q_normed.T  # (n, q)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(cos.shape[1]):
+            col = cos[:, qi]
+            order = np.argsort(-col, kind="stable")
+            taken = 0
+            for idx in order:
+                if int(ids[idx]) in self.exclude:
+                    continue
+                out_q.append(qi)
+                out_id.append(int(ids[idx]))
+                out_cos.append(float(col[idx]))
+                taken += 1
+                if taken >= self.k:
+                    break
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, pa.int32()),
+                pa.array(out_id, pa.int64()),
+                pa.array(out_cos, pa.float64()),
+            ],
+            names=["query_idx", "vec_id", "cosine"],
+        )
+
+
+_HP_RNG = np.random.RandomState(1234)
+_HP_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    key = (dim, n_planes)
+    if key not in _HP_CACHE:
+        rng = np.random.RandomState(1234 + n_planes)
+        _HP_CACHE[key] = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    return _HP_CACHE[key]
+
+
+def hyperplane_bucket_batch(
+    batch: pa.Table, n_planes: int = 12, column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Assign each vector an LSH bucket = sign pattern on random hyperplanes."""
+    emb = embedding_matrix(batch, column)
+    planes = _hyperplanes(emb.shape[1], n_planes)
+    signs = (emb @ planes) > 0  # (n, p)
+    keys = np.zeros(len(emb), dtype=np.int64)
+    for p in range(n_planes):
+        keys |= signs[:, p].astype(np.int64) << p
+    return pa.Table.from_arrays(
+        [batch.column(id_column), pa.array(keys, pa.int64())],
+        names=[id_column, "bucket"],
+    )
+
+
+def embedding_neardup_pairs(group, threshold: float = 0.95, always_top1: bool = True):
+    """map_groups: brute-force cosine within an LSH bucket; emit near-dups.
+
+    With ``always_top1`` the single highest-cosine pair of each bucket is
+    emitted even below threshold, so candidate mining stays observable on
+    corpora with no true near-duplicates.
+    """
+    import pandas as pd
+
+    rows = group.drop_duplicates("vec_id").sort_values("vec_id")
+    ids = rows["vec_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=float), "is_neardup": pd.Series(dtype=bool)}
+        )
+    emb = np.stack(rows["embedding"].to_numpy()).astype(np.float32)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    cos = emb @ emb.T
+    ai, bi = np.triu_indices(len(ids), k=1)
+    vals = cos[ai, bi]
+    mask = vals >= threshold
+    if always_top1 and len(vals):
+        mask = mask.copy()
+        mask[int(np.argmax(vals))] = True
+    return pd.DataFrame(
+        {
+            "vec_a": ids[ai[mask]].astype(np.int64),
+            "vec_b": ids[bi[mask]].astype(np.int64),
+            "cosine": vals[mask].astype(np.float64),
+            "is_neardup": (vals[mask] >= threshold),
+        }
+    )

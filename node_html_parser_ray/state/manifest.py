@@ -1,0 +1,76 @@
+"""Partition manifest: checkpointed, resumable pipeline runs with lineage.
+
+north_rule: "resumable from checkpoint with per-partition lineage + metrics".
+
+Checkpoint unit = *shard* — a group of input files (at 100 TB: Lance
+fragments / parquet row-group ranges).  Each shard streams through the full
+pipeline independently and commits an atomic manifest entry
+(``shard-<id>.json``, written via rename) recording input files, row counts
+and aggregated metrics.  On resume, committed shards are skipped at the
+*source scan* — their input files never leave storage.
+
+Why shards and not Ray-internal checkpoints: Ray Data has task retries but no
+cross-run persistence; shard-granular commit is the standard idempotent
+pattern (each shard's output directory is replaced wholesale on re-run, so a
+half-written shard from a crashed run is overwritten, never double-counted).
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Optional
+
+__all__ = ["ShardManifest"]
+
+
+class ShardManifest:
+    """Directory of per-shard commit records + lineage metrics."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.dir = os.path.join(root, "_manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, shard_id: int) -> str:
+        return os.path.join(self.dir, f"shard-{shard_id:06d}.json")
+
+    def completed_shards(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.dir):
+            if name.startswith("shard-") and name.endswith(".json"):
+                out.add(int(name[6:-5]))
+        return out
+
+    def is_complete(self, shard_id: int) -> bool:
+        return os.path.exists(self._path(shard_id))
+
+    def commit(
+        self,
+        shard_id: int,
+        input_files: list[str],
+        row_count: int,
+        metrics: Optional[dict] = None,
+    ) -> None:
+        """Atomically record shard completion (write temp + rename)."""
+        record = {
+            "shard_id": shard_id,
+            "input_files": input_files,
+            "row_count": row_count,
+            "metrics": metrics or {},
+            "committed_at": time.time(),
+            "status": "complete",
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, self._path(shard_id))
+
+    def read(self, shard_id: int) -> dict:
+        with open(self._path(shard_id)) as f:
+            return json.load(f)
+
+    def lineage(self) -> list[dict]:
+        """All committed records (the lineage/metrics table)."""
+        return [self.read(s) for s in sorted(self.completed_shards())]
