@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "extraction": {docs, bytes, docs_per_sec, mb_per_sec}}
+
+Modes:
+  (default)    full suite: synthetic-corpus extraction + testdata queries
+  --scaling    run the extraction headline twice in fresh processes
+               (RAY_GRAFT_SCALE_CPUS_LOW=8 vs num_cpus) on the same corpus
+               and report throughput at both + scaling efficiency
+  --extraction-only  internal: one extraction run (used by --scaling)
+
+This script OWNS its Ray session (ray.init(address="local")); the library
+never calls ray.init.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("NHPR_BENCH_DOCS", "60000"))
+BENCH_SEED = 42
+GIANT_FRACTION = 0.002
+
+
+def _corpus_dir() -> str:
+    return f"/tmp/nhpr_bench_corpus_{BENCH_DOCS}_{BENCH_SEED}"
+
+
+def ensure_corpus() -> tuple[str, int]:
+    """Generate (once) the synthetic interleaved bench corpus, in parallel.
+
+    Returns (dir, total_input_html_bytes).
+    """
+    import ray
+
+    out = _corpus_dir()
+    meta = os.path.join(out, "_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return out, json.load(f)["html_bytes"]
+
+    os.makedirs(out, exist_ok=True)
+    rows_per_file = 2000
+    starts = list(range(0, BENCH_DOCS, rows_per_file))
+
+    @ray.remote
+    def gen(start: int) -> int:
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.sources.corpus import generate_documents
+
+        n = min(rows_per_file, BENCH_DOCS - start)
+        table = generate_documents(
+            n, seed=BENCH_SEED, giant_fraction=GIANT_FRACTION, id_offset=start
+        )
+        pq.write_table(table, os.path.join(out, f"docs-{start:09d}.parquet"))
+        total = 0
+        for row in table.column("spans").to_pylist():
+            total += sum(len(s["text"]) for s in row if s["kind"] == "html")
+        return total
+
+    html_bytes = sum(ray.get([gen.remote(s) for s in starts]))
+    with open(meta, "w") as f:
+        json.dump({"n_docs": BENCH_DOCS, "html_bytes": html_bytes}, f)
+    return out, html_bytes
+
+
+def run_extraction(corpus_dir: str) -> dict:
+    """Headline: read -> parse/extract -> write parquet (full streaming)."""
+    import ray
+
+    from node_html_parser_ray.stages.extract_stage import extract_batch
+
+    out_dir = f"/tmp/nhpr_bench_out_{os.getpid()}"
+    files = [
+        os.path.join(corpus_dir, f)
+        for f in sorted(os.listdir(corpus_dir))
+        if f.endswith(".parquet")
+    ]
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=64)
+    ds.write_parquet(out_dir)
+    elapsed = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": elapsed}
+
+
+def run_query_suite(sf_dir: str) -> dict[str, float]:
+    """Time each driver query over the testdata tables."""
+    import __ray_entry__
+
+    timings: dict[str, float] = {}
+    for name, fn in __ray_entry__.queries().items():
+        t0 = time.perf_counter()
+        result = fn(sf_dir)
+        # force execution
+        if hasattr(result, "materialize"):
+            result = result.materialize()
+            _ = result.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--extraction-only", action="store_true")
+    parser.add_argument("--cpus", type=int, default=NUM_CPUS)
+    parser.add_argument("--skip-queries", action="store_true")
+    args = parser.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+    corpus_dir, html_bytes = ensure_corpus()
+
+    extraction = run_extraction(corpus_dir)
+    sec = extraction["sec"]
+    result = {
+        "metric": "extraction_and_query_suite_wall_sec",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": args.cpus,
+        "extraction": {
+            "n_docs": BENCH_DOCS,
+            "html_bytes": html_bytes,
+            "sec": round(sec, 3),
+            "docs_per_sec": round(BENCH_DOCS / sec, 1),
+            "mb_per_sec": round(html_bytes / sec / 1e6, 2),
+        },
+    }
+    if args.extraction_only:
+        result["metric"] = "extraction_wall_sec"
+        result["value"] = round(sec, 3)
+        result["queries"] = {"extraction": round(sec, 3)}
+        print(json.dumps(result))
+        ray.shutdown()
+        return
+
+    queries = {} if args.skip_queries else run_query_suite(SF_DIR)
+    queries["extraction"] = round(sec, 3)
+    result["queries"] = queries
+    result["value"] = round(sum(queries.values()), 3)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def run_scaling(args) -> None:
+    """Same job at two parallelism levels in fresh processes (north_rule
+    two-cluster-size evidence: N vs 4N CPUs)."""
+    low = int(os.environ.get("RAY_GRAFT_SCALE_CPUS_LOW", "8"))
+    high = args.cpus
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extraction-only",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp_low = results[low]["extraction"]["docs_per_sec"]
+    tp_high = results[high]["extraction"]["docs_per_sec"]
+    speedup = tp_high / tp_low
+    efficiency = speedup / (high / low)
+    out = {
+        "metric": "scaling_efficiency",
+        "unit": "ratio",
+        "value": round(efficiency, 3),
+        "sf": SF_DIR,
+        "num_cpus": high,
+        "queries": {
+            f"extraction_cpus_{low}": results[low]["extraction"]["sec"],
+            f"extraction_cpus_{high}": results[high]["extraction"]["sec"],
+        },
+        "throughput_docs_per_sec": {str(low): tp_low, str(high): tp_high},
+        "speedup": round(speedup, 3),
+        "cpus": [low, high],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -181,7 +181,12 @@ class HTMLElement(AbstractNode):
         self.class_names: list[str] = []
         # parse() sets this on the fictive root (src/index.ts:1001).
         self.valid = True
-        if raw_attrs:
+        # Fast path: the eager id/class scan only ever affects output via
+        # exact-lowercase 'id'/'class' keys (the reference's /i regex also
+        # matches 'ID=' but keyAttrs.id is a case-sensitive lookup,
+        # src/index.ts:186-193), so skip the scan when neither substring
+        # occurs.
+        if raw_attrs and ("id" in raw_attrs or "class" in raw_attrs):
             key_attrs: dict[str, str] = {}
             for m in _ID_CLASS_ATTR_RE.finditer(raw_attrs):
                 key = m.group(2)

@@ -26,9 +26,21 @@ _TRIM = re.compile(f"^{S}+|{S}+$")
 _WS_RUN = re.compile(f"{S}+")
 
 
+_ASCII_WS = "\t\n\v\f\r "
+_EXOTIC_WS = frozenset(_JS_WS_CHARS) - frozenset(_ASCII_WS)
+
+
 def js_trim(s: str) -> str:
-    """Equivalent of JS String.prototype.trim() (trims JS whitespace incl. BOM)."""
-    return _TRIM.sub("", s)
+    """Equivalent of JS String.prototype.trim() (trims JS whitespace incl. BOM).
+
+    Fast path: plain ``str.strip`` over ASCII whitespace covers almost every
+    real string; the regex only runs when exotic unicode whitespace remains
+    at either end.
+    """
+    t = s.strip(_ASCII_WS)
+    if t and (t[0] in _EXOTIC_WS or t[-1] in _EXOTIC_WS):
+        return _TRIM.sub("", t)
+    return t
 
 
 def js_ws_split(s: str) -> list[str]:

@@ -130,7 +130,9 @@ def parse(
         m_end = m.end()
         # Inter-tag text (reference src/index.ts:902-906).
         if last_text_pos < m_start:
-            current.append_child(TextNode(data[last_text_pos:m_start]))
+            # NB: appendChild sets parentNode only for elements
+            # (reference src/index.ts:485-487) — text nodes stay parentless.
+            current.child_nodes.append(TextNode(data[last_text_pos:m_start]))
             n_text += 1
         last_text_pos = m_end
         pos = m_end
@@ -138,17 +140,15 @@ def parse(
         # Comment branch (reference src/index.ts:911-919): match[0][1]=='!'.
         if data[m_start + 1] == "!":
             if keep_comments:
-                current.append_child(
-                    CommentNode(data[m_start + 4 : m_end - 3])
-                )
+                current.child_nodes.append(CommentNode(data[m_start + 4 : m_end - 3]))
                 n_comments += 1
             continue
 
-        tag = m.group("tag")
+        close_g, tag, attrs, self_g = m.group("close", "tag", "attrs", "selfclose")
         if lower_case:
             tag = tag.lower() if tag else ""
-        is_closing = m.group("close") != ""
-        is_self_syntax = m.group("selfclose") != ""
+        is_closing = close_g != ""
+        is_self_syntax = self_g != ""
 
         # Opening-tag branch (reference src/index.ts:924-960).
         if not is_closing:
@@ -157,10 +157,10 @@ def parse(
                 if closed_by is not None and tag in closed_by:
                     stack.pop()
                     current = stack[-1] if stack else root
-            attrs = m.group("attrs")
-            current = current.append_child(
-                HTMLElement(tag or "", js_trim(attrs) if attrs else "")
-            )
+            child = HTMLElement(tag or "", js_trim(attrs) if attrs else "")
+            child.parent_node = current
+            current.child_nodes.append(child)
+            current = child
             n_elements += 1
             stack.append(current)
             if tag in K_BLOCK_TEXT_ELEMENTS:
@@ -175,7 +175,7 @@ def parse(
                     else:
                         text = data[pos:index]
                     if text:
-                        current.append_child(TextNode(text))
+                        current.child_nodes.append(TextNode(text))
                         n_text += 1
                 if index == -1:
                     last_text_pos = pos = data_len + 1
@@ -205,7 +205,7 @@ def parse(
 
     # Trailing text (reference src/index.ts:995-998) — appended to *root*.
     if last_text_pos < data_len:
-        root.append_child(TextNode(data[last_text_pos:]))
+        root.child_nodes.append(TextNode(data[last_text_pos:]))
         n_text += 1
 
     # Malformed-HTML repair (reference src/index.ts:1000-1026).

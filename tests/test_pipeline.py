@@ -1,0 +1,264 @@
+"""End-to-end Ray Data pipeline tests: span-sequence equality between the
+distributed pipeline and a direct single-process kernel run, checkpoint
+resume, and the stateful stages."""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from node_html_parser_ray.kernel.extract import parse_and_extract
+from node_html_parser_ray.sources.corpus import generate_documents, write_corpus
+from node_html_parser_ray.stages.extract_stage import add_partition_column, extract_batch
+
+
+def golden_spans(table: pa.Table) -> dict:
+    """Single-process reference-semantics run (FIXTURES.md §2 golden)."""
+    out = {}
+    for row in table.to_pylist():
+        spans, valid, _ = parse_and_extract(
+            [s["kind"] for s in row["spans"]],
+            [s["text"] for s in row["spans"]],
+            [s["media_ref"] for s in row["spans"]],
+            [s["offset"] for s in row["spans"]],
+        )
+        out[row["doc_id"]] = (spans, valid)
+    return out
+
+
+class TestSpanEquality:
+    def test_pipeline_matches_single_process(self, ray_session, tmp_path):
+        """Span-sequence equality (kind, text, media_ref, order) per doc."""
+        import ray
+
+        n = 300
+        corpus = generate_documents(n, seed=7)
+        golden = golden_spans(corpus)
+
+        path = str(tmp_path / "corpus.parquet")
+        import pyarrow.parquet as pq
+
+        pq.write_table(corpus, path)
+        ds = ray.data.read_parquet(path).map_batches(
+            extract_batch, batch_format="pyarrow", batch_size=32
+        )
+        result = {}
+        for row in ds.take_all():
+            spans = [
+                (s["kind"], s["text"], s["media_ref"], s["order"])
+                for s in row["spans"]
+            ]
+            result[row["doc_id"]] = (spans, row["valid"])
+
+        assert set(result) == set(golden)
+        mismatches = [d for d in golden if result[d] != golden[d]]
+        assert mismatches == [], f"span mismatch for {mismatches[:3]}"
+
+    def test_all_parser_branches_covered(self):
+        """The pathology grammar exercises repair (some docs invalid)."""
+        corpus = generate_documents(300, seed=7)
+        golden = golden_spans(corpus)
+        valids = [v for _, v in golden.values()]
+        assert any(valids) and not all(valids)
+        kinds = {s[0] for spans, _ in golden.values() for s in spans}
+        assert kinds == {"text", "image", "video", "embed"}
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_shards(self, ray_session, tmp_path):
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=120, seed=3, rows_per_file=30)
+        out = str(tmp_path / "out")
+
+        first = run_checkpointed(files, out, shard_count=4)
+        assert sorted(first["ran"]) == [0, 1, 2, 3]
+        assert first["totals"]["n_docs"] == 120
+
+        second = run_checkpointed(files, out, shard_count=4)
+        assert second["ran"] == []
+        assert sorted(second["skipped"]) == [0, 1, 2, 3]
+        assert second["totals"]["n_docs"] == 120
+
+        # lineage records input files per shard
+        assert all(r["input_files"] for r in second["lineage"])
+
+    def test_partial_resume(self, ray_session, tmp_path):
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=60, seed=4, rows_per_file=15)
+        out = str(tmp_path / "out")
+        # pre-commit shard 1 as if a previous run completed it
+        run_checkpointed(files[1::4], out, shard_count=1)
+        manifest = ShardManifest(out)
+        assert manifest.completed_shards() == {0}
+
+        result = run_checkpointed(files, out, shard_count=4)
+        assert 0 in result["skipped"]
+        assert sorted(result["ran"]) == [1, 2, 3]
+
+
+class TestPartitioning:
+    def test_partition_ids_stable_and_salted(self):
+        corpus = generate_documents(50, seed=5, giant_fraction=0.2)
+        out = add_partition_column(corpus, num_partitions=8, giant_bytes=100_000)
+        pids = out.column("partition_id").to_pylist()
+        sizes = [
+            sum(len(s["text"]) for s in row if s["kind"] == "html")
+            for row in corpus.column("spans").to_pylist()
+        ]
+        for pid, size in zip(pids, sizes):
+            if size > 100_000:
+                assert 8 <= pid < 16  # salted giant range
+            else:
+                assert 0 <= pid < 8
+        # determinism
+        again = add_partition_column(corpus, num_partitions=8, giant_bytes=100_000)
+        assert again.column("partition_id").to_pylist() == pids
+
+
+class TestStatefulStages:
+    def test_selector_stage_matches_kernel(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.kernel import parse
+        from node_html_parser_ray.stages.selector_stage import SelectorStage
+
+        htmls = [
+            '<div class="c"><a href="https://x.com">l</a><span id="s1">t</span></div>',
+            '<ul><li class="c">1<li>2</ul><img src="/i.png">',
+        ]
+        selectors = [".c", "[href^=\"https://\"]", "ul li", "img, span"]
+        table = pa.Table.from_arrays(
+            [
+                pa.array(["a", "b"], pa.string()),
+                pa.array(htmls, pa.large_string()),
+            ],
+            names=["doc_id", "html"],
+        )
+        ds = ray.data.from_arrow(table).map_batches(
+            SelectorStage,
+            fn_constructor_kwargs={"selectors": selectors},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        got = {
+            (r["doc_id"], r["selector"]): r["n_matches"] for r in ds.take_all()
+        }
+        for doc_id, html in zip(["a", "b"], htmls):
+            root = parse(html)
+            for sel in selectors:
+                assert got[(doc_id, sel)] == len(root.query_selector_all(sel)), (doc_id, sel)
+
+    def test_boilerplate_classifier(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.stages.classify import BoilerplateClassifier
+
+        html = (
+            '<nav><a href="/">home</a><a href="/a">a</a></nav>'
+            "<article><p>" + ("real content words here " * 10) + "</p></article>"
+            '<footer><a href="/c">contact</a></footer>'
+        )
+        table = pa.Table.from_arrays(
+            [pa.array(["d1"], pa.string()), pa.array([html], pa.large_string())],
+            names=["doc_id", "html"],
+        )
+        ds = ray.data.from_arrow(table).map_batches(
+            BoilerplateClassifier, batch_format="pyarrow", concurrency=1
+        )
+        row = ds.take_all()[0]
+        assert "real content words" in row["main_text"]
+        assert "home" not in row["main_text"]
+        assert row["n_content_blocks"] >= 1
+        assert row["n_boilerplate_blocks"] >= 2
+
+
+class TestDedupStages:
+    def test_exact_dedup_groups(self, ray_session):
+        import ray
+        from ray.data.aggregate import Count, Min
+
+        from node_html_parser_ray.stages.dedup import add_text_hash
+
+        table = pa.Table.from_arrays(
+            [
+                pa.array([1, 2, 3, 4], pa.int64()),
+                pa.array(["same", "same", "other", "same"], pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+        ds = ray.data.from_arrow(table).map_batches(add_text_hash, batch_format="pyarrow")
+        g = ds.groupby("text_hash").aggregate(Min("doc_id"), Count()).take_all()
+        by_keeper = {r["min(doc_id)"]: r["count()"] for r in g}
+        assert by_keeper == {1: 3, 3: 1}
+
+    def test_minhash_lsh_finds_near_dups(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.stages.dedup import (
+            bucket_candidate_pairs,
+            lsh_band_rows,
+            minhash_signatures_batch,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        texts = [base, base + "tail difference.", "completely unrelated words " * 25]
+        table = pa.Table.from_arrays(
+            [pa.array(["a", "b", "c"], pa.string()), pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+        ds = ray.data.from_arrow(table).map_batches(
+            minhash_signatures_batch, batch_format="pyarrow"
+        )
+        pairs = (
+            ds.map_batches(lsh_band_rows, batch_format="pyarrow")
+            .groupby("band_key")
+            .map_groups(bucket_candidate_pairs, batch_format="pandas")
+            .take_all()
+        )
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+        assert ("a", "b") in found
+        assert ("a", "c") not in found and ("b", "c") not in found
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.stages.multimodal import (
+            MediaDecodeStage,
+            fake_payload_batch,
+        )
+
+        table = pa.Table.from_arrays(
+            [
+                pa.array([f"media://d/{i}" for i in range(5)], pa.string()),
+                pa.array(["image"] * 5, pa.string()),
+            ],
+            names=["media_ref", "kind"],
+        )
+        ds = (
+            ray.data.from_arrow(table)
+            .map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=2)
+            .map_batches(MediaDecodeStage, batch_format="pyarrow", batch_size=2, concurrency=1)
+        )
+        rows = ds.take_all()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["width"] >= 64 and r["height"] >= 64
+            assert len(r["features"]) == 16
+        # determinism
+        rows2 = (
+            ray.data.from_arrow(table)
+            .map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=5)
+            .map_batches(MediaDecodeStage, batch_format="pyarrow", batch_size=5, concurrency=1)
+            .take_all()
+        )
+        assert {r["media_ref"]: r["width"] for r in rows} == {
+            r["media_ref"]: r["width"] for r in rows2
+        }
