@@ -111,7 +111,9 @@ def run_checkpointed(
             import shutil
 
             shutil.rmtree(shard_out)
-        ds.write_parquet(shard_out)
+        # no dictionary encoding: mostly-unique text pages decode 40x slower
+        # with it (measured); downstream readers of the output benefit too
+        ds.write_parquet(shard_out, use_dictionary=False)
         metrics = _aggregate_shard_metrics(shard_out)
         manifest.commit(shard_id, files, metrics["n_docs"], metrics)
         ran.append(shard_id)

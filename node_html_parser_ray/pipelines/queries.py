@@ -331,8 +331,9 @@ def q_minhash_neardup(sf_dir: str):
         lambda b: dedup.minhash_signatures_batch(b), batch_format="pyarrow"
     )
     bands = ds.map_batches(dedup.lsh_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("band_key").map_groups(
-        dedup.bucket_candidate_pairs, batch_format="pandas"
+    # coarse-shard groupby: fixed group count, exact bucket co-location
+    pairs = bands.groupby("band_shard").map_groups(
+        dedup.shard_candidate_pairs, batch_format="pandas"
     )
     # dedup candidate pairs across bands
     from ray.data.aggregate import Count

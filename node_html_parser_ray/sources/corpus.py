@@ -243,6 +243,8 @@ def write_corpus(
         n = min(rows_per_file, n_docs - start)
         table = generate_documents(n, seed=seed, giant_fraction=giant_fraction, id_offset=start)
         path = os.path.join(out_dir, f"docs-{start:09d}.parquet")
-        pq.write_table(table, path)
+        # dictionary encoding is pathological for mostly-unique text payloads
+        # (40x slower decode measured); disable it
+        pq.write_table(table, path, use_dictionary=False)
         paths.append(path)
     return paths
