@@ -70,13 +70,26 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     """
     doc_ids = batch.column("doc_id").to_pylist()
     if "spans" in batch.column_names:
-        span_rows = batch.column("spans").to_pylist()
+        # flat-array decode: one to_pylist per child column instead of a
+        # Python dict per span (list<struct> to_pylist is 2-3x slower)
+        spans_col = batch.column("spans").combine_chunks()
+        # value_lengths (not .offsets) stays correct for sliced arrays
+        lengths = spans_col.value_lengths().to_pylist()
+        row_offsets = [0]
+        for n in lengths:
+            row_offsets.append(row_offsets[-1] + (n or 0))
+        flat = spans_col.flatten()
+        f_kind = flat.field("kind").to_pylist()
+        f_text = flat.field("text").to_pylist()
+        f_ref = flat.field("media_ref").to_pylist()
+        f_off = flat.field("offset").to_pylist()
     else:
         html_col = batch.column("html").to_pylist()
-        span_rows = [
-            [{"kind": "html", "text": h or "", "media_ref": "", "offset": 0}]
-            for h in html_col
-        ]
+        row_offsets = list(range(len(html_col) + 1))
+        f_kind = ["html"] * len(html_col)
+        f_text = [h or "" for h in html_col]
+        f_ref = [""] * len(html_col)
+        f_off = [0] * len(html_col)
 
     # flat builders for the list<struct> output column
     kinds: list[str] = []
@@ -94,12 +107,10 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     m_spans: list[int] = []
 
     metrics = ParseMetrics()
-    for row in span_rows:
+    for r in range(len(doc_ids)):
+        lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
-            [s["kind"] for s in row],
-            [s["text"] for s in row],
-            [s["media_ref"] for s in row],
-            [s["offset"] for s in row],
+            f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
         )
         root = parse(html, options, metrics=metrics)
         spans = extract_spans(root, media_map)
