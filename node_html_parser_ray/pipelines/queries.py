@@ -263,7 +263,225 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast join orders -> customer -> nation + pre-aggregated groupby.
+
+    The two small sides are read driver-side with column pruning, composed
+    into one custkey -> nation_name dict, broadcast ONCE via ray.put and
+    resolved inside map_batches; a per-batch partial aggregate runs before
+    the groupby so the shuffle moves one row per (nation, block).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation_by_key = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust_to_nation = {
+        c: nation_by_key[n]
+        for c, n in zip(
+            customer.column("c_custkey").to_pylist(),
+            customer.column("c_nationkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    class JoinAndPartial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            custkeys = batch.column("o_custkey").to_pylist()
+            prices = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            nations = [self.lookup.get(c, "") for c in custkeys]
+            df = pd.DataFrame({"n_name": nations, "price": prices})
+            g = df.groupby("n_name", as_index=False).agg(
+                part_n=("price", "size"), part_sum=("price", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    g = (
+        ds.map_batches(
+            JoinAndPartial,
+            fn_constructor_kwargs={"ref": lookup_ref},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .groupby("n_name")
+        .aggregate(Sum("part_n"), Sum("part_sum"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["n_name", "n_orders", "sum_raw"])
+        milli = pc.cast(pc.round(pc.multiply(batch.column("sum_raw"), 100.0)), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                batch.column("n_name"),
+                pc.cast(batch.column("n_orders"), pa.int64()),
+                milli,
+            ],
+            names=["n_name", "n_orders", "total_price_cents"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------- rows-only queries -----------------------------
+
+
+def q_validation_pass_rate(sf_dir: str):
+    """Sampled validation (BASELINE.json metric): pipeline output vs golden.
+
+    Golden = single-process reference-semantics kernel on a deterministic
+    sample; broadcast once; compared inside map_batches with span-sequence
+    equality (kind, text, media_ref, order).  Emits one summary row.
+    """
+    import ray
+
+    from ..kernel.extract import parse_and_extract
+    from ..sources.corpus import generate_documents
+
+    sample = generate_documents(200, seed=1234)
+    golden: dict[str, tuple] = {}
+    for row in sample.to_pylist():
+        spans, valid, _ = parse_and_extract(
+            [s["kind"] for s in row["spans"]],
+            [s["text"] for s in row["spans"]],
+            [s["media_ref"] for s in row["spans"]],
+            [s["offset"] for s in row["spans"]],
+        )
+        golden[row["doc_id"]] = (tuple(spans), valid)
+    golden_ref = ray.put(golden)
+
+    class Validate:
+        def __init__(self, ref):
+            self.golden = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = extract_stage.extract_batch(batch)
+            n_pass = 0
+            n_fail = 0
+            for row in out.to_pylist():
+                spans = tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in row["spans"]
+                )
+                expected = self.golden.get(row["doc_id"])
+                if expected is not None and expected == (spans, row["valid"]):
+                    n_pass += 1
+                else:
+                    n_fail += 1
+            return pa.Table.from_arrays(
+                [pa.array([n_pass], pa.int64()), pa.array([n_fail], pa.int64())],
+                names=["n_pass", "n_fail"],
+            )
+
+    ds = ray.data.from_arrow(sample)
+    parts = ds.map_batches(
+        Validate,
+        fn_constructor_kwargs={"ref": golden_ref},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    import ray as _ray
+
+    merged = pa.concat_tables([_ray.get(r) for r in parts.to_arrow_refs()])
+    n_pass = pc.sum(merged.column("n_pass")).as_py() or 0
+    n_fail = pc.sum(merged.column("n_fail")).as_py() or 0
+    total = n_pass + n_fail
+    return pa.Table.from_arrays(
+        [
+            pa.array([total], pa.int64()),
+            pa.array([n_pass], pa.int64()),
+            pa.array([100.0 * n_pass / total if total else 0.0], pa.float64()),
+        ],
+        names=["n_docs", "n_pass", "pass_rate_pct"],
+    )
+
+
+def q_partition_metrics(sf_dir: str):
+    """Per-partition lineage metrics: extract -> partition -> groupby sums."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
+    out = out.map_batches(
+        lambda b: extract_stage.add_partition_column(b, num_partitions=8),
+        batch_format="pyarrow",
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        m = batch.column("metrics").combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                batch.column("partition_id"),
+                m.field("n_nodes"),
+                m.field("n_fixups"),
+                m.field("n_bytes"),
+            ],
+            names=["partition_id", "n_nodes", "n_fixups", "n_bytes"],
+        )
+
+    g = (
+        out.map_batches(expand, batch_format="pyarrow")
+        .groupby("partition_id")
+        .aggregate(Count(), Sum("n_nodes"), Sum("n_fixups"), Sum("n_bytes"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["partition_id", "n_docs", "sum_nodes", "sum_fixups", "sum_bytes"]
+        )
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def q_dom_api(sf_dir: str):
+    """DOM-API operator sweep per doc: structure depth, toJSON size,
+    removeWhitespace/trimRight effects (rows-only determinism check)."""
+    from ..kernel.parser import parse
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_struct_lines = []
+        n_json_children = []
+        n_after_ws = []
+        for d, t in zip(doc_ids, texts):
+            html = f'<div id="d{d}" class="a b"> {t} <span>x</span> <!--c--> </div>'
+            root = parse(html, {"comment": True})
+            n_struct_lines.append(len(root.first_child.structure.splitlines()))
+            n_json_children.append(len(root.to_json()["children"]))
+            clone = parse(html, {"comment": True})
+            clone.first_child.remove_whitespace()
+            clone.first_child.trim_right("x")
+            n_after_ws.append(len(clone.first_child.child_nodes))
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(d) for d in doc_ids], pa.int64()),
+                pa.array(n_struct_lines, pa.int64()),
+                pa.array(n_json_children, pa.int64()),
+                pa.array(n_after_ws, pa.int64()),
+            ],
+            names=["doc_id", "n_structure_lines", "n_json_children", "n_children_after_rw"],
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
 def q_extract_interleaved(sf_dir: str):
@@ -396,6 +614,10 @@ def q_media_features(sf_dir: str):
 
 
 QUERIES = {
+    "orders_by_nation": q_orders_by_nation,
+    "validation_pass_rate": q_validation_pass_rate,
+    "partition_metrics": q_partition_metrics,
+    "dom_api": q_dom_api,
     "structured_text": q_structured_text,
     "media_refs": q_media_refs,
     "text_spans": q_text_spans,
@@ -422,6 +644,15 @@ _STOP_RE = r"\b(the|a|of|and|to|in|is|it|that|for)\b"
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 ORACLE_SQL = {
+    "orders_by_nation": """
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS total_price_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
     "structured_text": r"""
         SELECT doc_id,
                regexp_replace(

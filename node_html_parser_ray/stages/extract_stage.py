@@ -195,7 +195,7 @@ def add_partition_column(
     doc_ids = batch.column("doc_id").to_pylist()
     base = partition_ids(doc_ids, num_partitions)
     if "metrics" in batch.column_names:
-        sizes = batch.column("metrics").field("n_bytes").to_pylist()
+        sizes = batch.column("metrics").combine_chunks().field("n_bytes").to_pylist()
     elif "spans" in batch.column_names:
         sizes = []
         for row in batch.column("spans").to_pylist():
