@@ -339,6 +339,86 @@ def q_orders_by_nation(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_sessions(sf_dir: str):
+    """Sessionization: per-user event sessions with a 30-minute gap rule.
+
+    Stateful streaming-window analogue: events shuffle once by user shard
+    (coarse key — bounded group count), then a vectorized pandas pass sorts
+    each user's events and assigns session ids by gap threshold.
+    """
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("user_shard", shard)
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.sort_values(["user_id", "ts"])
+        gap = df.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+        new_session = gap | df["user_id"].ne(df["user_id"].shift())
+        df["session"] = new_session.cumsum()
+        out = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("session", "nunique"), n_events=("ts", "size")
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("user_shard")
+        .map_groups(sessionize, batch_format="pandas")
+        .select_columns(["user_id", "n_sessions", "n_events"])
+    )
+
+
+def q_top_spenders(sf_dir: str):
+    """Top-10 customers by total order price: pre-aggregate per batch, one
+    small groupby, then a driver-side top-k over the tiny aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("o_custkey", as_index=False).agg(
+            part_n=("o_totalprice", "size"), part_sum=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_n"), Sum("part_sum"))
+    )
+    agg = g.to_pandas()
+    agg.columns = ["o_custkey", "n_orders", "sum_raw"]
+    agg["total_cents"] = (agg["sum_raw"] * 100).round().astype("int64")
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    top = agg.sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True]
+    ).head(10)
+    top = top.reset_index(drop=True)
+    top["rank"] = (top.index + 1).astype("int64")
+    return pa.Table.from_pandas(
+        top[["rank", "o_custkey", "n_orders", "total_cents"]], preserve_index=False
+    )
+
+
 # --------------------------- rows-only queries -----------------------------
 
 
@@ -516,6 +596,22 @@ def q_selectors(sf_dir: str):
     ).select_columns(["doc_id", "selector", "n_matches"])
 
 
+def q_selector_counts_columnar(sf_dir: str):
+    """Shuffle-free columnar selector counts: parse + explode to a node table
+    and evaluate single-part selectors as pure pyarrow.compute masks
+    (stages/flat_select.py).  Fused into one map_batches so each document's
+    nodes never cross a block boundary — no groupby needed."""
+    from ..stages.flat_select import explode_nodes_batch, selector_counts
+
+    parts = ["div.c", "img", "*", "[src]"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nodes = explode_nodes_batch(_wrap_html_batch(batch))
+        return selector_counts(nodes, parts)
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_boilerplate(sf_dir: str):
     """Boilerplate classifier actor pool (rows-only)."""
 
@@ -615,6 +711,9 @@ def q_media_features(sf_dir: str):
 
 QUERIES = {
     "orders_by_nation": q_orders_by_nation,
+    "sessions": q_sessions,
+    "top_spenders": q_top_spenders,
+    "selector_counts_columnar": q_selector_counts_columnar,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
     "dom_api": q_dom_api,
@@ -652,6 +751,27 @@ ORACLE_SQL = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
+    """,
+    "sessions": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM gaps GROUP BY user_id
+    """,
+    "top_spenders": """
+        SELECT CAST(row_number() OVER (
+                 ORDER BY CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) DESC, o_custkey) AS BIGINT) AS rank,
+               o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
+        FROM orders GROUP BY o_custkey
+        QUALIFY rank <= 10
     """,
     "structured_text": r"""
         SELECT doc_id,

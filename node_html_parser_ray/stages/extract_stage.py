@@ -110,7 +110,10 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     for r in range(len(doc_ids)):
         lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
-            f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
+            [k or "" for k in f_kind[lo:hi]],
+            [t or "" for t in f_text[lo:hi]],
+            [m or "" for m in f_ref[lo:hi]],
+            [o or 0 for o in f_off[lo:hi]],
         )
         root = parse(html, options, metrics=metrics)
         spans = extract_spans(root, media_map)

@@ -272,3 +272,49 @@ class TestBrokenHtml:
         assert len(root.children[0].children) == 2
         assert root.children[0].children[0].attributes["data-test"] == "/test.jpg"
         assert root.children[0].children[1].attributes["style"] == "background-image:url('test.jpg')"
+
+
+class TestColumnarParity:
+    """stages/flat_select columnar masks match the exact per-doc automaton
+    for single-part selectors (the documented scale path)."""
+
+    DOCS = {
+        "a": '<div class="c top"><p id="x">hi</p><img src="/i.png"></div>',
+        "b": '<ul><li class="c">1</li><li>2</li></ul><span data-k>ok</span>',
+        "c": '<div><div class="c"><div class="c deep">t</div></div></div>',
+        "d": "plain text only, no elements",
+        "e": '<article><img alt="no src"><img src="x"></article>',
+    }
+    PARTS = ["div", "*", ".c", "#x", "img", "[src]", "div.c", "[data-k]"]
+
+    def _kernel_counts(self):
+        out = {}
+        for doc_id, html in self.DOCS.items():
+            root = parse(html)
+            for part in self.PARTS:
+                out[(doc_id, part)] = len(root.query_selector_all(part))
+        return out
+
+    def test_counts_match_kernel(self):
+        import pyarrow as pa
+
+        from node_html_parser_ray.stages.flat_select import (
+            explode_nodes_batch,
+            selector_counts,
+        )
+
+        batch = pa.table(
+            {
+                "doc_id": list(self.DOCS.keys()),
+                "html": list(self.DOCS.values()),
+            }
+        )
+        nodes = explode_nodes_batch(batch)
+        counts = selector_counts(nodes, self.PARTS)
+        got = {
+            (r["doc_id"], r["selector"]): r["n_matches"]
+            for r in counts.to_pylist()
+        }
+        expected = self._kernel_counts()
+        for key, n in expected.items():
+            assert got.get(key, 0) == n, key
