@@ -242,7 +242,7 @@ def q_ann_topk(sf_dir: str):
         similarity.TopKCosine,
         fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     # global top-k over the small per-block candidate set
     table = candidates.to_arrow_refs()
@@ -257,6 +257,65 @@ def q_ann_topk(sf_dir: str):
     return pa.Table.from_arrays(
         [
             pa.array(ranks, pa.int64()),
+            pa.array([merged.column("vec_id")[i].as_py() for i in idx], pa.int64()),
+        ],
+        names=["rank", "vec_id"],
+    )
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-partitioned ANN top-10 (the scale path for q_ann_topk).
+
+    Coarse quantizer trained once on a small driver-side sample (spherical
+    k-means, deterministic); centroids broadcast via ray.put; every batch
+    gets an ``ivf_cell`` column; only the nprobe cells nearest the query are
+    brute-forced.  At 100 TB the cell filter prunes ~(1 - nprobe/k) of the
+    corpus before any matmul.  Rows-only check (approximate by design);
+    recall@10 vs brute force is asserted in tests/test_pipeline.py.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = pq.read_table(path, columns=["vec_id", "embedding"])
+    sample_mat = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float32)
+    centroids = similarity.spherical_kmeans(sample_mat[:2048], k=16)
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
+    cells = similarity.probe_cells(q, centroids, nprobe=4)
+
+    c_ref = ray.put(centroids)
+    q_ref = ray.put(q)
+    ds = ray.data.read_parquet(path)
+    assigned = ds.map_batches(
+        similarity.IVFAssign,
+        fn_constructor_kwargs={"centroids_ref": c_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    probe_set = pa.array(cells, pa.int32())
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("ivf_cell"), value_set=probe_set))
+
+    candidates = assigned.map_batches(cell_filter, batch_format="pyarrow").map_batches(
+        similarity.TopKCosine,
+        fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    merged = pa.concat_tables(
+        [ray.get(r) for r in candidates.to_arrow_refs()]
+    )
+    idx = sorted(
+        range(len(merged)),
+        key=lambda i: (-merged.column("cosine")[i].as_py(),
+                       merged.column("vec_id")[i].as_py()),
+    )[:10]
+    return pa.Table.from_arrays(
+        [
+            pa.array(list(range(1, len(idx) + 1)), pa.int64()),
             pa.array([merged.column("vec_id")[i].as_py() for i in idx], pa.int64()),
         ],
         names=["rank", "vec_id"],
@@ -318,7 +377,7 @@ def q_orders_by_nation(sf_dir: str):
             JoinAndPartial,
             fn_constructor_kwargs={"ref": lookup_ref},
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .groupby("n_name")
         .aggregate(Sum("part_n"), Sum("part_sum"))
@@ -407,7 +466,8 @@ def q_top_spenders(sf_dir: str):
     )
     agg = g.to_pandas()
     agg.columns = ["o_custkey", "n_orders", "sum_raw"]
-    agg["total_cents"] = (agg["sum_raw"] * 100).round().astype("int64")
+    # half-away rounding to match SQL ROUND (pandas .round is half-to-even)
+    agg["total_cents"] = np.floor(agg["sum_raw"] * 100 + 0.5).astype("int64")
     agg["n_orders"] = agg["n_orders"].astype("int64")
     top = agg.sort_values(
         ["total_cents", "o_custkey"], ascending=[False, True]
@@ -416,6 +476,221 @@ def q_top_spenders(sf_dir: str):
     top["rank"] = (top.index + 1).astype("int64")
     return pa.Table.from_pandas(
         top[["rank", "o_custkey", "n_orders", "total_cents"]], preserve_index=False
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Scale shape: per-batch partial aggregation collapses each block to at
+    most 6 rows (returnflag x linestatus) BEFORE the groupby, so the
+    all-to-all shuffle moves O(blocks) rows, not O(rows).  Money summed in
+    integer cents to make the value-hash bit-stable vs the SQL oracle.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = "1998-09-01"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        mask = pc.less_equal(
+            batch.column("l_shipdate"),
+            pa.scalar(np.datetime64(cutoff + "T00:00:00", "us"), pa.timestamp("us")),
+        )
+        df = batch.filter(mask).to_pandas()
+        # half-away-from-zero rounding (floor(x+0.5) for positives) to match
+        # SQL ROUND; pandas .round() is half-to-even and hash-mismatches
+        df["qty_milli"] = np.floor(df["l_quantity"] * 1000 + 0.5).astype("int64")
+        df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
+        df["disc_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            part_n=("qty_milli", "size"),
+            part_qty=("qty_milli", "sum"),
+            part_base=("base_cents", "sum"),
+            part_disc=("disc_cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("part_n"), Sum("part_qty"), Sum("part_base"), Sum("part_disc"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty_milli",
+             "sum_base_cents", "sum_disc_cents"]
+        )
+        cols = [batch.column("l_returnflag"), batch.column("l_linestatus")] + [
+            pc.cast(batch.column(c), pa.int64())
+            for c in ("n_rows", "sum_qty_milli", "sum_base_cents", "sum_disc_cents")
+        ]
+        return pa.Table.from_arrays(
+            cols,
+            names=["l_returnflag", "l_linestatus", "n_rows", "sum_qty_milli",
+                   "sum_base_cents", "sum_disc_cents"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-flavoured revenue rollup: lineitem x supplier x nation x
+    region, all dimension tables broadcast as one suppkey->region dict
+    (built once on the driver from tables of O(100) rows, shipped via
+    ray.put implicitly in the closure) — zero shuffle joins; the only
+    exchange is the final 5-row groupby."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation.column("n_nationkey").to_pylist(),
+                   nation.column("n_regionkey").to_pylist()))
+    r2name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    supp_to_region = {
+        s: r2name[n2r[n]]
+        for s, n in zip(supplier.column("s_suppkey").to_pylist(),
+                        supplier.column("s_nationkey").to_pylist())
+    }
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        df["r_name"] = df["l_suppkey"].map(supp_to_region)
+        # half-away rounding to match SQL ROUND (see q_pricing_summary)
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.groupby("r_name", as_index=False).agg(
+            part_n=("rev_cents", "size"), part_rev=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("part_n"), Sum("part_rev"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["r_name", "n_items", "revenue_cents"])
+        return pa.Table.from_arrays(
+            [batch.column("r_name"),
+             pc.cast(batch.column("n_items"), pa.int64()),
+             pc.cast(batch.column("revenue_cents"), pa.int64())],
+            names=["r_name", "n_items", "revenue_cents"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def q_segment_order_revenue(sf_dir: str):
+    """TPC-H Q3-flavoured: top-10 BUILDING-segment orders by lineitem
+    revenue.  Demonstrates the big-big hash join: lineitem is pre-aggregated
+    to one row per orderkey (shuffle moves aggregates, not items), then
+    Dataset.join against the segment-filtered orders; the filter itself uses
+    a broadcast customer-key set (small side)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = pc.filter(
+        cust.column("c_custkey"),
+        pc.equal(cust.column("c_mktsegment"), "BUILDING"),
+    ).combine_chunks()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("o_custkey"), value_set=seg_keys)
+        return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders_f = orders.map_batches(filt, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        # half-away rounding to match SQL ROUND (see q_pricing_summary)
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.groupby("l_orderkey", as_index=False).agg(
+            part_rev=("rev_cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("part_rev"))
+    )
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "revenue_cents"])
+
+    rev = rev.map_batches(rn, batch_format="pyarrow")
+    joined = rev.join(
+        orders_f, join_type="inner", num_partitions=8, on=("o_orderkey",)
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        # per-block top-10: the driver-side merge then sees O(blocks x 10)
+        # rows, never the full join result
+        idx = pc.select_k_unstable(
+            batch, k=10, sort_keys=[("revenue_cents", "descending"),
+                                    ("o_orderkey", "ascending")]
+        )
+        return batch.take(idx)
+
+    top = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top["revenue_cents"] = top["revenue_cents"].astype("int64")
+    top = top.sort_values(
+        ["revenue_cents", "o_orderkey"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    top["rank"] = (top.index + 1).astype("int64")
+    top["o_orderdate"] = top["o_orderdate"].dt.strftime("%Y-%m-%d")
+    return pa.Table.from_pandas(
+        top[["rank", "o_orderkey", "o_orderdate", "revenue_cents"]],
+        preserve_index=False,
     )
 
 
@@ -475,7 +750,7 @@ def q_validation_pass_rate(sf_dir: str):
         fn_constructor_kwargs={"ref": golden_ref},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     import ray as _ray
 
@@ -592,7 +867,7 @@ def q_selectors(sf_dir: str):
         selector_stage.SelectorStage,
         fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).select_columns(["doc_id", "selector", "n_matches"])
 
 
@@ -633,7 +908,7 @@ def q_boilerplate(sf_dir: str):
     return ds.map_batches(
         classify.BoilerplateClassifier,
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     ).select_columns(["doc_id", "n_content_blocks", "n_boilerplate_blocks"])
 
 
@@ -705,7 +980,7 @@ def q_media_features(sf_dir: str):
     ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     return ds.map_batches(
-        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=2
+        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
@@ -714,6 +989,9 @@ QUERIES = {
     "sessions": q_sessions,
     "top_spenders": q_top_spenders,
     "selector_counts_columnar": q_selector_counts_columnar,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_region": q_revenue_by_region,
+    "segment_order_revenue": q_segment_order_revenue,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
     "dom_api": q_dom_api,
@@ -727,6 +1005,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "events_hourly": q_events_hourly,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "extract_interleaved": q_extract_interleaved,
     "selectors": q_selectors,
     "boilerplate": q_boilerplate,
@@ -771,6 +1050,44 @@ ORACLE_SQL = {
                COUNT(*) AS n_orders,
                CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_cents
         FROM orders GROUP BY o_custkey
+        QUALIFY rank <= 10
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity * 1000) AS BIGINT)) AS BIGINT) AS sum_qty_milli,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_region": """
+        SELECT r.r_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "segment_order_revenue": """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT CAST(row_number() OVER (
+                 ORDER BY rev.revenue_cents DESC, o.o_orderkey) AS BIGINT) AS rank,
+               o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               rev.revenue_cents
+        FROM rev
+        JOIN orders o ON rev.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
         QUALIFY rank <= 10
     """,
     "structured_text": r"""

@@ -21,6 +21,9 @@ __all__ = [
     "TopKCosine",
     "hyperplane_bucket_batch",
     "embedding_neardup_pairs",
+    "spherical_kmeans",
+    "IVFAssign",
+    "probe_cells",
 ]
 
 
@@ -81,6 +84,66 @@ class TopKCosine:
             ],
             names=["query_idx", "vec_id", "cosine"],
         )
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def spherical_kmeans(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Init = k evenly spaced rows of the (caller-ordered) sample — no RNG, so
+    the index is reproducible run to run.  At 100 TB the sample is a small
+    driver-side read (e.g. first parquet fragment); training cost is
+    O(sample x k x iters) and happens once per job.
+    """
+    x = _normalize(sample.astype(np.float32))
+    k = min(k, len(x))
+    centroids = x[np.linspace(0, len(x) - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ centroids.T, axis=1)  # cosine on unit vectors
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+class IVFAssign:
+    """Actor-pool stage: append each vector's IVF cell id (nearest centroid).
+
+    ``centroids_ref`` is a ``ray.ObjectRef`` put once on the driver; each
+    actor resolves it in ``__init__`` — never re-shipped per batch.
+    """
+
+    def __init__(self, centroids_ref, column: str = "embedding") -> None:
+        import ray
+
+        c = ray.get(centroids_ref) if hasattr(centroids_ref, "hex") else centroids_ref
+        self.centroids = _normalize(np.asarray(c, dtype=np.float32))
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(embedding_matrix(batch, self.column))
+        cell = np.argmax(emb @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))
+
+
+def probe_cells(query: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[int]:
+    """The nprobe nearest cells to each query vector (union over queries)."""
+    q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+    c = _normalize(np.asarray(centroids, dtype=np.float32))
+    sims = q @ c.T  # (nq, k)
+    out: set[int] = set()
+    for row in sims:
+        out.update(int(i) for i in np.argsort(-row, kind="stable")[:nprobe])
+    return sorted(out)
 
 
 _HP_RNG = np.random.RandomState(1234)

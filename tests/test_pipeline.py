@@ -262,3 +262,64 @@ class TestMultimodal:
         assert {r["media_ref"]: r["width"] for r in rows} == {
             r["media_ref"]: r["width"] for r in rows2
         }
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, ray_session):
+        """IVF (k=16, nprobe=4) recall@10 vs exact brute force on a
+        clustered synthetic corpus — the approximation must stay useful."""
+        import numpy as np
+        import ray
+
+        from node_html_parser_ray.stages.similarity import (
+            IVFAssign,
+            TopKCosine,
+            probe_cells,
+            spherical_kmeans,
+        )
+
+        rng = np.random.RandomState(7)
+        # 8 well-separated cluster centers, 64 points each, dim 32
+        centers = rng.standard_normal((8, 32)).astype(np.float32) * 4
+        pts = np.concatenate(
+            [c + rng.standard_normal((64, 32)).astype(np.float32) for c in centers]
+        )
+        ids = np.arange(len(pts), dtype=np.int64)
+        table = pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array(list(map(list, pts.astype(float))), pa.list_(pa.float32()))],
+            names=["vec_id", "embedding"],
+        )
+        query = pts[0:1]
+        normed = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        qn = query / np.linalg.norm(query)
+        exact = set(
+            ids[np.argsort(-(normed @ qn.T).ravel(), kind="stable")[1:11]].tolist()
+        )
+
+        centroids = spherical_kmeans(pts, k=16)
+        cells = probe_cells(query, centroids, nprobe=4)
+        c_ref, q_ref = ray.put(centroids), ray.put(query)
+        ds = ray.data.from_arrow(table).map_batches(
+            IVFAssign, fn_constructor_kwargs={"centroids_ref": c_ref},
+            batch_format="pyarrow", concurrency=1,
+        )
+        probe_set = pa.array(cells, pa.int32())
+        import pyarrow.compute as pc_
+
+        got_rows = (
+            ds.map_batches(
+                lambda b: b.filter(pc_.is_in(b.column("ivf_cell"), value_set=probe_set)),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                TopKCosine,
+                fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
+                batch_format="pyarrow", concurrency=1,
+            )
+            .take_all()
+        )
+        got_rows.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+        approx = {r["vec_id"] for r in got_rows[:10]}
+        recall = len(approx & exact) / 10
+        assert recall >= 0.9, (recall, sorted(approx), sorted(exact))
