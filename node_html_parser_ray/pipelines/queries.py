@@ -694,6 +694,69 @@ def q_segment_order_revenue(sf_dir: str):
     )
 
 
+def q_distinct_lang_source(sf_dir: str):
+    """DISTINCT as a scale pattern: per-batch local dedupe (combiner) before
+    the groupby, so the shuffle moves unique pairs per block, not rows."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["lang", "source"]).aggregate([])
+
+    g = ds.map_batches(local_distinct, batch_format="pyarrow").groupby(
+        ["lang", "source"]
+    ).aggregate(Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["lang", "source"])
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def q_entities_by_nation(sf_dir: str):
+    """Dataset.union of two sources (customer + supplier nation keys) then a
+    pre-aggregated count per nation key."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    both = cust.union(supp)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("nationkey")
+            .aggregate([("nationkey", "count")])
+            .rename_columns(["nationkey", "part_n"])
+        )
+
+    g = both.map_batches(partial, batch_format="pyarrow").groupby(
+        "nationkey"
+    ).aggregate(Sum("part_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["nationkey", "n_entities"])
+        return pa.Table.from_arrays(
+            [pc.cast(batch.column("nationkey"), pa.int32()),
+             pc.cast(batch.column("n_entities"), pa.int64())],
+            names=["nationkey", "n_entities"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------- rows-only queries -----------------------------
 
 
@@ -992,6 +1055,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_region": q_revenue_by_region,
     "segment_order_revenue": q_segment_order_revenue,
+    "distinct_lang_source": q_distinct_lang_source,
+    "entities_by_nation": q_entities_by_nation,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
     "dom_api": q_dom_api,
@@ -1089,6 +1154,16 @@ ORACLE_SQL = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         QUALIFY rank <= 10
+    """,
+    "distinct_lang_source": """
+        SELECT DISTINCT lang, source FROM documents
+    """,
+    "entities_by_nation": """
+        SELECT nationkey, COUNT(*) AS n_entities
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier)
+        GROUP BY nationkey
     """,
     "structured_text": r"""
         SELECT doc_id,

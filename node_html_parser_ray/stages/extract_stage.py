@@ -79,10 +79,19 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         for n in lengths:
             row_offsets.append(row_offsets[-1] + (n or 0))
         flat = spans_col.flatten()
+        # coalesce NULL struct fields once, outside the per-doc loop
         f_kind = flat.field("kind").to_pylist()
         f_text = flat.field("text").to_pylist()
         f_ref = flat.field("media_ref").to_pylist()
         f_off = flat.field("offset").to_pylist()
+        if flat.null_count or any(
+            c.null_count for c in (flat.field("kind"), flat.field("text"),
+                                   flat.field("media_ref"), flat.field("offset"))
+        ):
+            f_kind = [k or "" for k in f_kind]
+            f_text = [t or "" for t in f_text]
+            f_ref = [m or "" for m in f_ref]
+            f_off = [o or 0 for o in f_off]
     else:
         html_col = batch.column("html").to_pylist()
         row_offsets = list(range(len(html_col) + 1))
@@ -110,10 +119,7 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     for r in range(len(doc_ids)):
         lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
-            [k or "" for k in f_kind[lo:hi]],
-            [t or "" for t in f_text[lo:hi]],
-            [m or "" for m in f_ref[lo:hi]],
-            [o or 0 for o in f_off[lo:hi]],
+            f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
         )
         root = parse(html, options, metrics=metrics)
         spans = extract_spans(root, media_map)
