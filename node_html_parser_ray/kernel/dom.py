@@ -99,7 +99,14 @@ class TextNode(AbstractNode):
     @property
     def is_whitespace(self) -> bool:
         """/^(\\s|&nbsp;)*$/ on the raw text (reference src/index.ts:83-85)."""
-        return _WHITESPACE_RE.match(self.value) is not None
+        v = self.value
+        if not v:
+            return True
+        # fast path: ASCII-whitespace-only strings skip the regex; anything
+        # left (incl. &nbsp; / exotic JS \s chars) falls back to the exact RE
+        if not v.strip("\t\n\v\f\r "):
+            return True
+        return _WHITESPACE_RE.match(v) is not None
 
     def to_string(self) -> str:
         return self.value

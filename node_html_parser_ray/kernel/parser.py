@@ -221,17 +221,22 @@ def parse(
                 # Pair error <h3><h3> -> <h3></h3>: second's children move to
                 # the grandparent; both treated closed (extra stack pop).
                 one_before.remove_child(last)
-                grandparent = one_before.parent_node
-                for child in last.child_nodes:
-                    grandparent.append_child(child)
+                target = one_before.parent_node
                 if stack:
                     stack.pop()
             else:
                 # Single error <div><h3></div>: <h3> removed, children
                 # reattached to its parent.
                 one_before.remove_child(last)
-                for child in last.child_nodes:
-                    one_before.append_child(child)
+                target = one_before
+            # batched appendChild (same semantics: extend preserves order,
+            # parentNode set only on elements, src/index.ts:483-489)
+            moved = last.child_nodes
+            if moved:
+                target.child_nodes.extend(moved)
+                for child in moved:
+                    if child.node_type == 1:
+                        child.parent_node = target
         # else: top-level leftover — just skip.
 
     if metrics is not None:
