@@ -757,6 +757,148 @@ def q_entities_by_nation(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_asof_last_order(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each event joined to the
+    customer's latest order with o_orderdate <= event ts.
+
+    Plan: both sides tagged with a coarse user shard (bounded group count),
+    ONE shuffle co-locates a shard's events + orders, then a vectorized
+    ``pd.merge_asof(by=key)`` inside map_groups does the per-key backward
+    search.  Partitioning assumption: a shard's rows fit one worker — shard
+    count scales with cluster size, keys are spread by hash.  Orders are
+    pre-reduced to one row per (custkey, orderdate) so ties are
+    deterministic on both engines.  Deterministic key mapping:
+    custkey = user_id + 1 (events have no custkey column).
+    """
+    import pandas as pd
+    import ray
+
+    n_shards = 32
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    )
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        key = pc.add(batch.column("user_id"), pa.scalar(1, pa.int64()))
+        shard = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_shards - 1, pa.int64())), pa.int32()
+        )
+        return pa.Table.from_arrays(
+            [batch.column("event_id"), key, batch.column("ts"), shard,
+             pa.array([True] * len(batch), pa.bool_())],
+            names=["event_id", "key", "ts", "shard", "is_event"],
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        # deterministic ties: one row per (custkey, orderdate), max orderkey
+        df = df.groupby(["o_custkey", "o_orderdate"], as_index=False)[
+            "o_orderkey"
+        ].max()
+        key = df["o_custkey"].astype("int64")
+        return pa.Table.from_arrays(
+            [pa.array(df["o_orderkey"], pa.int64()),
+             pa.array(key, pa.int64()),
+             pa.array(df["o_orderdate"], pa.timestamp("us")),
+             pa.array((key & (n_shards - 1)).astype("int32"), pa.int32()),
+             pa.array([False] * len(df), pa.bool_())],
+            names=["event_id", "key", "ts", "shard", "is_event"],
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        events = group[group["is_event"]].sort_values("ts", kind="stable")
+        orders = (
+            group[~group["is_event"]]
+            .rename(columns={"event_id": "o_orderkey"})
+            .sort_values("ts", kind="stable")
+        )
+        if not len(events):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "last_orderkey": pd.Series(dtype="int64")}
+            )
+        merged = pd.merge_asof(
+            events[["event_id", "key", "ts"]],
+            orders[["o_orderkey", "key", "ts"]],
+            on="ts", by="key", direction="backward",
+        )
+        out = pd.DataFrame(
+            {"event_id": merged["event_id"].astype("int64"),
+             "last_orderkey": merged["o_orderkey"].fillna(-1).astype("int64")}
+        )
+        return out
+
+    return (
+        both.groupby("shard")
+        .map_groups(asof, batch_format="pandas")
+        .select_columns(["event_id", "last_orderkey"])
+    )
+
+
+_VALUE_BANDS = [  # (name, lo, hi) — the small side of the range join
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 100.0),
+    ("medium", 100.0, 500.0),
+    ("large", 500.0, 1000.0),
+]
+
+
+def q_value_bands(sf_dir: str):
+    """Range join (custom operator): events banded by value into interval
+    buckets.  The band table is tiny -> broadcast in the closure; the range
+    predicate becomes one vectorized ``np.searchsorted`` per batch (no
+    shuffle until the <=5-row groupby of partial counts)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = np.array([b[1] for b in _VALUE_BANDS] + [_VALUE_BANDS[-1][2]])
+    names = np.array([b[0] for b in _VALUE_BANDS], dtype=object)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        in_range = (idx >= 0) & (idx < len(names)) & (v < edges[-1])
+        counts = np.bincount(idx[in_range], minlength=len(names))
+        return pa.Table.from_arrays(
+            [pa.array(list(names), pa.string()),
+             pa.array(counts, pa.int64())],
+            names=["band", "part_n"],
+        )
+
+    g = ds.map_batches(partial, batch_format="pyarrow").groupby("band").aggregate(
+        Sum("part_n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["band", "n_events"])
+        batch = batch.filter(pc.greater(batch.column("n_events"), 0))
+        return pa.Table.from_arrays(
+            [batch.column("band"), pc.cast(batch.column("n_events"), pa.int64())],
+            names=["band", "n_events"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 # --------------------------- rows-only queries -----------------------------
 
 
@@ -1056,6 +1198,8 @@ QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "segment_order_revenue": q_segment_order_revenue,
     "distinct_lang_source": q_distinct_lang_source,
+    "asof_last_order": q_asof_last_order,
+    "value_bands": q_value_bands,
     "entities_by_nation": q_entities_by_nation,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
@@ -1154,6 +1298,24 @@ ORACLE_SQL = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         QUALIFY rank <= 10
+    """,
+    "value_bands": """
+        SELECT b.band, COUNT(*) AS n_events
+        FROM events e
+        JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 100.0),
+                     ('medium', 100.0, 500.0), ('large', 500.0, 1000.0))
+             b(band, lo, hi)
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
+    "asof_last_order": """
+        SELECT e.event_id,
+               COALESCE(o.o_orderkey, -1) AS last_orderkey
+        FROM events e
+        ASOF LEFT JOIN (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        ) o ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
     """,
     "distinct_lang_source": """
         SELECT DISTINCT lang, source FROM documents
