@@ -1189,6 +1189,62 @@ def q_media_features(sf_dir: str):
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
+def q_frame_pipeline(sf_dir: str):
+    """Multimodal chain: payload -> frame-sample (1 row per frame, flat-map
+    shape) -> per-frame resize -> per-video frame accounting (rows-only)."""
+    from ..stages.multimodal import FrameSampleStage, ImageResizeStage
+
+    def refs(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array([f"media://{d}/v" for d in doc_ids], pa.string())],
+            names=["media_ref"],
+        )
+
+    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    frames = ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
+    )
+    resized = frames.map_batches(
+        lambda b: b.rename_columns(
+            ["media_ref", "frame_idx", "ts_ms", "payload"]
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"width": 64, "height": 64},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        g = df.groupby("media_ref", as_index=False).agg(
+            n_frames=("payload", "size"), total_bytes=("n_bytes", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    g = resized.map_batches(partial, batch_format="pyarrow").groupby(
+        "media_ref"
+    ).aggregate(Sum("n_frames"), Sum("total_bytes"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["media_ref", "n_frames", "total_bytes"])
+        return pa.Table.from_arrays(
+            [batch.column("media_ref"),
+             pc.cast(batch.column("n_frames"), pa.int64()),
+             pc.cast(batch.column("total_bytes"), pa.int64())],
+            names=["media_ref", "n_frames", "total_bytes"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "sessions": q_sessions,
@@ -1223,6 +1279,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
+    "frame_pipeline": q_frame_pipeline,
 }
 
 # DuckDB oracles (tables pre-registered as views).  RE2 regex on both sides

@@ -21,7 +21,15 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MediaDecodeStage", "MEDIA_FEATURES_SCHEMA", "fake_payload_batch"]
+__all__ = [
+    "MediaDecodeStage",
+    "ImageResizeStage",
+    "FrameSampleStage",
+    "MEDIA_FEATURES_SCHEMA",
+    "RESIZE_SCHEMA",
+    "FRAME_SCHEMA",
+    "fake_payload_batch",
+]
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
     [
@@ -49,6 +57,119 @@ def fake_payload_batch(batch: pa.Table) -> pa.Table:
         rng = np.random.RandomState(seed & 0x7FFFFFFF)
         payloads.append(rng.bytes(n))
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int64()),
+        ("frame", pa.binary()),
+    ]
+)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: binary image payload -> resized payload at (w, h).
+
+    Real plumbing (schema, per-actor setup, small-batch contract); the codec
+    is STUBBED — a real build swaps ``_resize_fake`` for PIL's
+    ``Image.open(...).resize(...)`` loaded once in ``__init__``.  The stub is
+    deterministic: output bytes are a content-hash-seeded stream sized
+    proportionally to the target area, so downstream size accounting is
+    realistic.
+    """
+
+    def __init__(self, width: int = 224, height: int = 224,
+                 real_decode: bool = False) -> None:
+        self.width = width
+        self.height = height
+        if real_decode:
+            raise NotImplementedError(
+                "real resize requires PIL, not present in this container"
+            )
+
+    def _resize_fake(self, payload: bytes) -> bytes:
+        seed = zlib.crc32(payload)
+        n = max(16, (self.width * self.height) // 512)
+        return np.random.RandomState(seed & 0x7FFFFFFF).bytes(n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out = [self._resize_fake(p or b"") for p in payloads]
+        n = len(refs)
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array([self.width] * n, pa.int32()),
+                pa.array([self.height] * n, pa.int32()),
+                pa.array(out, pa.binary()),
+                pa.array([len(b) for b in out], pa.int64()),
+            ],
+            schema=RESIZE_SCHEMA,
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video payload -> one output ROW PER SAMPLED FRAME
+    (flat-map shape: a batch of n videos emits n × n_frames rows).
+
+    Real plumbing: per-actor decoder setup, frame timestamps, exploded
+    output rows sized for downstream batching.  The codec is STUBBED — a
+    real build replaces ``_frames_fake`` with ffmpeg keyframe extraction;
+    the stub deterministically slices the payload into ``n_frames`` chunks
+    at evenly spaced fake timestamps.
+    """
+
+    def __init__(self, n_frames: int = 4, duration_ms: int = 10_000,
+                 real_decode: bool = False) -> None:
+        self.n_frames = n_frames
+        self.duration_ms = duration_ms
+        if real_decode:
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg, not present here"
+            )
+
+    def _frames_fake(self, payload: bytes) -> list[bytes]:
+        if not payload:
+            return [b""] * self.n_frames
+        step = max(1, len(payload) // self.n_frames)
+        return [payload[i * step:(i + 1) * step] for i in range(self.n_frames)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        o_ref: list[str] = []
+        o_idx: list[int] = []
+        o_ts: list[int] = []
+        o_frame: list[bytes] = []
+        for ref, payload in zip(refs, payloads):
+            frames = self._frames_fake(payload or b"")
+            for i, fr in enumerate(frames):
+                o_ref.append(ref)
+                o_idx.append(i)
+                o_ts.append(i * self.duration_ms // max(1, self.n_frames))
+                o_frame.append(fr)
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_ref, pa.string()),
+                pa.array(o_idx, pa.int32()),
+                pa.array(o_ts, pa.int64()),
+                pa.array(o_frame, pa.binary()),
+            ],
+            schema=FRAME_SCHEMA,
+        )
 
 
 class MediaDecodeStage:

@@ -264,6 +264,64 @@ class TestMultimodal:
         }
 
 
+    def test_frame_sample_and_resize(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.stages.multimodal import (
+            FrameSampleStage,
+            ImageResizeStage,
+            fake_payload_batch,
+        )
+
+        table = pa.Table.from_arrays(
+            [pa.array([f"media://v/{i}" for i in range(3)], pa.string())],
+            names=["media_ref"],
+        )
+        frames = (
+            ray.data.from_arrow(table)
+            .map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=2)
+            .map_batches(
+                FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+                batch_format="pyarrow", batch_size=2, concurrency=1,
+            )
+        )
+        rows = frames.take_all()
+        # flat-map shape: 3 videos x 4 frames
+        assert len(rows) == 12
+        by_ref = {}
+        for r in rows:
+            by_ref.setdefault(r["media_ref"], []).append(r)
+        for ref, rs in by_ref.items():
+            assert sorted(x["frame_idx"] for x in rs) == [0, 1, 2, 3]
+            assert all(x["ts_ms"] == x["frame_idx"] * 2500 for x in rs)
+            assert all(len(x["frame"]) > 0 for x in rs)
+
+        resized = frames.map_batches(
+            lambda b: b.rename_columns(["media_ref", "frame_idx", "ts_ms", "payload"]),
+            batch_format="pyarrow",
+        ).map_batches(
+            ImageResizeStage, fn_constructor_kwargs={"width": 32, "height": 32},
+            batch_format="pyarrow", concurrency=1,
+        )
+        out = resized.take_all()
+        assert len(out) == 12
+        assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+        assert all(r["n_bytes"] == len(r["payload"]) > 0 for r in out)
+
+    def test_real_decode_raises(self, ray_session):
+        import pytest
+
+        from node_html_parser_ray.stages.multimodal import (
+            FrameSampleStage,
+            ImageResizeStage,
+        )
+
+        with pytest.raises(NotImplementedError):
+            ImageResizeStage(real_decode=True)
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(real_decode=True)
+
+
 class TestIVF:
     def test_ivf_recall_vs_bruteforce(self, ray_session):
         """IVF (k=16, nprobe=4) recall@10 vs exact brute force on a
