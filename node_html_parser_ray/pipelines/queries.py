@@ -848,6 +848,52 @@ def q_asof_last_order(sf_dir: str):
     )
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Grouped top-k (window-rank analogue): top-3 orders by price within
+    each market segment.  Per-block top-3 per segment (combiner) -> one
+    5-group shuffle -> exact top-3 in map_groups; ties broken by orderkey
+    so both engines are deterministic."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["segment"] = df["o_custkey"].map(seg_of)
+        df["price_cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+        df = df.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True])
+        top = df.groupby("segment", as_index=False).head(3)
+        return pa.Table.from_pandas(
+            top[["segment", "o_orderkey", "price_cents"]], preserve_index=False
+        )
+
+    def final(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["price_cents", "o_orderkey"],
+                              ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g[["segment", "rank", "o_orderkey", "price_cents"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 _VALUE_BANDS = [  # (name, lo, hi) — the small side of the range join
     ("tiny", 0.0, 10.0),
     ("small", 10.0, 100.0),
@@ -1256,6 +1302,7 @@ QUERIES = {
     "distinct_lang_source": q_distinct_lang_source,
     "asof_last_order": q_asof_last_order,
     "value_bands": q_value_bands,
+    "top_orders_per_segment": q_top_orders_per_segment,
     "entities_by_nation": q_entities_by_nation,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
@@ -1355,6 +1402,17 @@ ORACLE_SQL = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         QUALIFY rank <= 10
+    """,
+    "top_orders_per_segment": """
+        SELECT c.c_mktsegment AS segment,
+               CAST(row_number() OVER (
+                 PARTITION BY c.c_mktsegment
+                 ORDER BY CAST(ROUND(o.o_totalprice * 100) AS BIGINT) DESC,
+                          o.o_orderkey) AS BIGINT) AS rank,
+               o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        QUALIFY rank <= 3
     """,
     "value_bands": """
         SELECT b.band, COUNT(*) AS n_events
