@@ -441,7 +441,9 @@ def q_sessions(sf_dir: str):
 
 def q_top_spenders(sf_dir: str):
     """Top-10 customers by total order price: pre-aggregate per batch, one
-    small groupby, then a driver-side top-k over the tiny aggregate."""
+    groupby, per-BLOCK top-10 partials, then a driver-side merge over
+    O(blocks x 10) rows — the full per-customer aggregate never reaches the
+    driver (it is corpus-sized at scale)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -464,15 +466,31 @@ def q_top_spenders(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("part_n"), Sum("part_sum"))
     )
-    agg = g.to_pandas()
-    agg.columns = ["o_custkey", "n_orders", "sum_raw"]
-    # half-away rounding to match SQL ROUND (pandas .round is half-to-even)
-    agg["total_cents"] = np.floor(agg["sum_raw"] * 100 + 0.5).astype("int64")
-    agg["n_orders"] = agg["n_orders"].astype("int64")
-    top = agg.sort_values(
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["o_custkey", "n_orders", "sum_raw"])
+        # half-away rounding to match SQL ROUND (pandas .round is half-to-even)
+        cents = pa.array(
+            np.floor(
+                batch.column("sum_raw").to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype("int64"),
+            pa.int64(),
+        )
+        batch = pa.Table.from_arrays(
+            [batch.column("o_custkey"),
+             pc.cast(batch.column("n_orders"), pa.int64()), cents],
+            names=["o_custkey", "n_orders", "total_cents"],
+        )
+        idx = pc.select_k_unstable(
+            batch, k=10, sort_keys=[("total_cents", "descending"),
+                                    ("o_custkey", "ascending")]
+        )
+        return batch.take(idx)
+
+    top = g.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(
         ["total_cents", "o_custkey"], ascending=[False, True]
-    ).head(10)
-    top = top.reset_index(drop=True)
+    ).head(10).reset_index(drop=True)
     top["rank"] = (top.index + 1).astype("int64")
     return pa.Table.from_pandas(
         top[["rank", "o_custkey", "n_orders", "total_cents"]], preserve_index=False
