@@ -3,7 +3,7 @@
 The flattened tree encoding (kernel/extract.flatten_tree) becomes a
 corpus-wide Arrow node table — one row per DOM node:
 
-    doc_id, node_id, parent_id, kind, tag, id, classes, raw_attrs
+    doc_id, node_id, parent_id, kind, tag, id, classes, attr_keys
 
 Simple selectors (``tag`` / ``#id`` / ``.class`` / ``[attr]`` and their
 conjunctions, i.e. one selector part) are then evaluated as pure
@@ -38,7 +38,7 @@ NODE_TABLE_SCHEMA = pa.schema(
         ("tag", pa.string()),
         ("id", pa.string()),
         ("classes", pa.string()),
-        ("raw_attrs", pa.string()),
+        ("attr_keys", pa.string()),  # parsed attribute KEYS, space-joined
     ]
 )
 
@@ -84,7 +84,10 @@ def explode_nodes_batch(batch: pa.Table) -> pa.Table:
                 out_tag.append(node.tag_name)
                 out_id.append(node.id)
                 out_cls.append(" ".join(node.class_names))
-                out_attrs.append(node.raw_attrs)
+                # PARSED keys (reference rawAttributes semantics) — matching
+                # raw attr text by regex false-positives on values that
+                # contain "key=" (caught by the fuzz parity test)
+                out_attrs.append(" ".join(node.raw_attributes) if node.raw_attrs else "")
                 stack.extend((c, nid) for c in reversed(node.child_nodes))
             else:
                 out_tag.append("")
@@ -146,10 +149,11 @@ def columnar_part_mask(nodes: pa.Table, part: str) -> pa.ChunkedArray:
             raise ValueError(f"unsupported selector part: {part!r}")
         for am in bare:
             key = am.group(1).strip()
-            # bare existence: raw_attrs contains the key as an attribute name
-            pattern = f"(^|[\\s'\"])({re.escape(key)})([\\s=>/]|$)"
+            # exact word match over the PARSED key list (keys contain no
+            # whitespace per the reference's kAttributePattern)
+            pattern = f"(^| ){re.escape(key)}( |$)"
             mask = pc.and_(
-                mask, pc.match_substring_regex(nodes.column("raw_attrs"), pattern)
+                mask, pc.match_substring_regex(nodes.column("attr_keys"), pattern)
             )
     return mask
 

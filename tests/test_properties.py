@@ -73,3 +73,61 @@ class TestStructuredTextParity:
             if kind == "text":
                 for piece in text.split("\n"):
                     assert piece in st_text or piece.strip() == ""
+
+
+class TestBatchKernelParity:
+    @given(st.lists(markup_text, min_size=1, max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_extract_batch_matches_kernel(self, htmls):
+        """The Arrow batch kernel emits exactly the pure-kernel spans."""
+        import pyarrow as pa
+
+        from node_html_parser_ray.stages.extract_stage import extract_batch
+
+        table = pa.table(
+            {
+                "doc_id": [str(i) for i in range(len(htmls))],
+                "html": pa.array(htmls, pa.large_string()),
+            }
+        )
+        out = extract_batch(table)
+        for i, html in enumerate(htmls):
+            root = parse(html)
+            expected = [
+                {"kind": k, "text": t, "media_ref": m, "order": o}
+                for k, t, m, o in extract_spans(root)
+            ]
+            row = out.column("spans")[i].as_py()
+            assert row == expected, html
+            assert out.column("valid")[i].as_py() == root.valid
+
+    @given(st.lists(markup_text, min_size=1, max_size=4))
+    @settings(max_examples=100, deadline=None)
+    def test_columnar_selector_parity_fuzz(self, htmls):
+        """flat_select single-part masks match the exact automaton on
+        arbitrary markup."""
+        import pyarrow as pa
+
+        from node_html_parser_ray.stages.flat_select import (
+            explode_nodes_batch,
+            selector_counts,
+        )
+
+        parts = ["div", "*", ".ab", "#a", "[title]", "span"]
+        table = pa.table(
+            {
+                "doc_id": [str(i) for i in range(len(htmls))],
+                "html": pa.array(htmls, pa.large_string()),
+            }
+        )
+        nodes = explode_nodes_batch(table)
+        got = {
+            (r["doc_id"], r["selector"]): r["n_matches"]
+            for r in selector_counts(nodes, parts).to_pylist()
+        }
+        for i, html in enumerate(htmls):
+            root = parse(html)
+            for part in parts:
+                assert got.get((str(i), part), 0) == len(
+                    root.query_selector_all(part)
+                ), (html, part)
