@@ -912,6 +912,30 @@ def q_top_orders_per_segment(sf_dir: str):
     )
 
 
+def q_sample_mod(sf_dir: str):
+    """Deterministic 1-in-20 sample (doc_id % 20 == 0) via an Arrow-expression
+    filter — vectorized predicate, evaluated block-local, no shuffle.  The
+    reproducible-mod sample is the scale-safe way to subset a corpus for
+    validation runs (random_sample() is nondeterministic across retries)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        # modulo via subtract(multiply(divide)) — pc has no direct %
+        q = pc.divide(batch.column("doc_id"), pa.scalar(20, pa.int64()))
+        keep = pc.equal(
+            pc.subtract(batch.column("doc_id"),
+                        pc.multiply(q, pa.scalar(20, pa.int64()))),
+            pa.scalar(0, pa.int64()),
+        )
+        return batch.filter(keep)
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
 _VALUE_BANDS = [  # (name, lo, hi) — the small side of the range join
     ("tiny", 0.0, 10.0),
     ("small", 10.0, 100.0),
@@ -1321,6 +1345,7 @@ QUERIES = {
     "asof_last_order": q_asof_last_order,
     "value_bands": q_value_bands,
     "top_orders_per_segment": q_top_orders_per_segment,
+    "sample_mod": q_sample_mod,
     "entities_by_nation": q_entities_by_nation,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
@@ -1420,6 +1445,9 @@ ORACLE_SQL = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         QUALIFY rank <= 10
+    """,
+    "sample_mod": """
+        SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
     """,
     "top_orders_per_segment": """
         SELECT c.c_mktsegment AS segment,
