@@ -912,6 +912,55 @@ def q_top_orders_per_segment(sf_dir: str):
     )
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding event-time window: for each event, the count of the SAME
+    user's events in the preceding hour (inclusive).  One co-shuffle by
+    coarse user shard, then a vectorized per-user two-pointer
+    (np.searchsorted over the sorted ts array) inside map_groups — no
+    per-event Python loop, no second shuffle."""
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("user_shard", shard)
+
+    def windowed(group: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out = []
+        for _, df in group.groupby("user_id"):
+            df = df.sort_values(["ts", "event_id"], kind="stable")
+            ts = df["ts"].to_numpy()
+            # RANGE semantics: peers at the exact current ts all count
+            # (side="right"), window start is inclusive (side="left")
+            lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out.append(pd.DataFrame(
+                {"event_id": df["event_id"].to_numpy(),
+                 "n_prev_hour": (hi - lo).astype("int64")}
+            ))
+        if not out:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_prev_hour": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("user_shard")
+        .map_groups(windowed, batch_format="pandas")
+        .select_columns(["event_id", "n_prev_hour"])
+    )
+
+
 def q_sample_mod(sf_dir: str):
     """Deterministic 1-in-20 sample (doc_id % 20 == 0) via an Arrow-expression
     filter — vectorized predicate, evaluated block-local, no shuffle.  The
@@ -1346,6 +1395,7 @@ QUERIES = {
     "value_bands": q_value_bands,
     "top_orders_per_segment": q_top_orders_per_segment,
     "sample_mod": q_sample_mod,
+    "sliding_window": q_sliding_window,
     "entities_by_nation": q_entities_by_nation,
     "validation_pass_rate": q_validation_pass_rate,
     "partition_metrics": q_partition_metrics,
@@ -1448,6 +1498,14 @@ ORACLE_SQL = {
     """,
     "sample_mod": """
         SELECT doc_id, lang FROM documents WHERE doc_id % 20 = 0
+    """,
+    "sliding_window": """
+        SELECT event_id,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_prev_hour
+        FROM events
     """,
     "top_orders_per_segment": """
         SELECT c.c_mktsegment AS segment,
