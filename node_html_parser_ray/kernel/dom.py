@@ -89,7 +89,10 @@ class TextNode(AbstractNode):
     node_type = TEXT_NODE
 
     def __init__(self, value: str) -> None:
-        super().__init__()
+        # inlined AbstractNode.__init__ — node construction is on the
+        # tokenizer hot path
+        self.child_nodes = []
+        self.parent_node = None
         self.value = value
 
     @property
@@ -133,7 +136,10 @@ class CommentNode(AbstractNode):
     node_type = COMMENT_NODE
 
     def __init__(self, value: str) -> None:
-        super().__init__()
+        # inlined AbstractNode.__init__ — node construction is on the
+        # tokenizer hot path
+        self.child_nodes = []
+        self.parent_node = None
         self.value = value
 
     @property
@@ -178,7 +184,8 @@ class HTMLElement(AbstractNode):
         raw_attrs: str = "",
         parent_node: Optional["HTMLElement"] = None,
     ) -> None:
-        super().__init__()
+        # inlined AbstractNode.__init__ (hot path: one per element)
+        self.child_nodes = []
         self.tag_name = tag_name
         self.raw_attrs = raw_attrs
         self.parent_node = parent_node

@@ -144,7 +144,7 @@ def parse(
                 n_comments += 1
             continue
 
-        close_g, tag, attrs, self_g = m.group("close", "tag", "attrs", "selfclose")
+        close_g, tag, attrs, self_g = m.group(1, 2, 3, 4)
         if lower_case:
             tag = tag.lower() if tag else ""
         is_closing = close_g != ""
