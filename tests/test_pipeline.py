@@ -381,3 +381,44 @@ class TestIVF:
         approx = {r["vec_id"] for r in got_rows[:10]}
         recall = len(approx & exact) / 10
         assert recall >= 0.9, (recall, sorted(approx), sorted(exact))
+
+
+class TestGiantDocs:
+    def test_gmail_through_pipeline(self, ray_session, fixture_html):
+        """The 2.1 MB gmail.html fixture streams through the real pipeline
+        (large_string column, small batch) and matches the single-process
+        kernel span-for-span."""
+        import ray
+
+        from node_html_parser_ray.kernel import extract_spans, parse
+        from node_html_parser_ray.stages.extract_stage import extract_batch
+
+        html = fixture_html.get("gmail.html")
+        if html is None:
+            import pytest
+
+            pytest.skip("gmail fixture unavailable")
+        # pad with small docs so the batch has mixed sizes
+        table = pa.Table.from_arrays(
+            [
+                pa.array(["g", "s1", "s2"], pa.string()),
+                pa.array([html, "<p>a</p>", "<div>b</div>"], pa.large_string()),
+            ],
+            names=["doc_id", "html"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in ray.data.from_arrow(table)
+            .map_batches(extract_batch, batch_format="pyarrow", batch_size=2)
+            .take_all()
+        }
+        root = parse(html)
+        expected = extract_spans(root)
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in out["g"]["spans"]
+        ]
+        assert got == expected
+        assert out["g"]["valid"] == root.valid
+        assert out["g"]["metrics"]["n_bytes"] == len(html)
+        assert len(got) > 50  # a real page yields many spans
