@@ -318,3 +318,86 @@ class TestColumnarParity:
         expected = self._kernel_counts()
         for key, n in expected.items():
             assert got.get(key, 0) == n, key
+
+
+def _dp_query_all(root, selector):
+    """Independent standard-CSS descendant matcher (DP over ancestor chains).
+
+    Used as a differential oracle for the ported automaton: the reference's
+    clone/rewind fork traversal (src/index.ts:418-454) must produce exactly
+    the standard descendant-combinator match set in pre-order.
+    """
+    from node_html_parser_ray.kernel.selector import Matcher
+
+    checkers = Matcher(selector).checkers
+    n = len(checkers)
+    out = []
+
+    def walk(node, chain):
+        for c in node.child_nodes:
+            if c.node_type != 1:
+                continue
+            if not c.tag_name:
+                walk(c, chain)
+                continue
+            newchain = chain + [c]
+            dp = [False] * (n + 1)
+            dp[0] = True
+            ends_at_c = False
+            for el in newchain:
+                ndp = dp[:]
+                for lev in range(n):
+                    if dp[lev] and checkers[lev](el):
+                        ndp[lev + 1] = True
+                        if lev + 1 == n and el is c:
+                            ends_at_c = True
+                dp = ndp
+            if ends_at_c:
+                out.append(c)
+            walk(c, newchain)
+
+    walk(root, [])
+    return out
+
+
+class TestAutomatonVsDP:
+    """Differential check: automaton == independent DP matcher."""
+
+    SELECTORS = ["div", "div div", "div span", ".x", "div .x",
+                 "span div span", "li li", "div div div", "#a div"]
+
+    def test_fixed_corpus(self):
+        docs = [
+            "<div><div><div>t</div></div></div>",
+            '<div class="x"><span>a</span><div><span>b</span></div></div>',
+            "<ul><li><ul><li>n</li></ul></li></ul>",
+            '<div id="a"><div><span><div>d</div></span></div></div>',
+            "<span><div><span><div><span>s</span></div></span></div></span>",
+        ]
+        for html in docs:
+            root = parse(html)
+            for sel in self.SELECTORS:
+                # SET equality: the reference's fork traversal emits deep
+                # same-tag chains deepest-first (rewound-clone results are
+                # concatenated before the advanced branch, src/index.ts:439),
+                # so result ORDER is reference-specific; membership is
+                # standard-CSS
+                got = {id(e) for e in root.query_selector_all(sel)}
+                exp = {id(e) for e in _dp_query_all(root, sel)}
+                assert got == exp, (html, sel)
+
+    def test_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alpha = list("<>/=\"' abc divspanli.#x1")
+        markup = st.text(alphabet=st.sampled_from(alpha), max_size=250)
+
+        @given(markup, st.sampled_from(self.SELECTORS))
+        @settings(max_examples=300, deadline=None)
+        def check(html, sel):
+            root = parse(html)
+            got = {id(e) for e in root.query_selector_all(sel)}
+            assert got == {id(e) for e in _dp_query_all(root, sel)}
+
+        check()
