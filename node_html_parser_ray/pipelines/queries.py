@@ -1215,12 +1215,13 @@ def q_selectors(sf_dir: str):
 
 def q_selector_counts_columnar(sf_dir: str):
     """Shuffle-free columnar selector counts: parse + explode to a node table
-    and evaluate single-part selectors as pure pyarrow.compute masks
-    (stages/flat_select.py).  Fused into one map_batches so each document's
-    nodes never cross a block boundary — no groupby needed."""
+    and evaluate selectors as vectorized masks (stages/flat_select.py) —
+    single parts via pyarrow.compute, descendant chains via numpy ancestor
+    propagation over parent pointers.  Fused into one map_batches so each
+    document's nodes never cross a block boundary — no groupby needed."""
     from ..stages.flat_select import explode_nodes_batch, selector_counts
 
-    parts = ["div.c", "img", "*", "[src]"]
+    parts = ["div.c", "img", "*", "[src]", "div.c img"]
 
     def fn(batch: pa.Table) -> pa.Table:
         nodes = explode_nodes_batch(_wrap_html_batch(batch))

@@ -27,7 +27,12 @@ from ..kernel.extract import assemble_document, flatten_tree
 from ..kernel.parser import parse
 from ..kernel.selector import _SELECTOR_PART_RE
 
-__all__ = ["explode_nodes_batch", "columnar_part_mask", "selector_counts"]
+__all__ = [
+    "explode_nodes_batch",
+    "columnar_part_mask",
+    "columnar_select_mask",
+    "selector_counts",
+]
 
 NODE_TABLE_SCHEMA = pa.schema(
     [
@@ -158,14 +163,66 @@ def columnar_part_mask(nodes: pa.Table, part: str) -> pa.ChunkedArray:
     return mask
 
 
+def columnar_select_mask(nodes: pa.Table, selector: str):
+    """Boolean numpy mask for a whitespace-DESCENDANT-chain selector,
+    evaluated columnar over the whole corpus node table.
+
+    Per level k: ``consumed_k = part_mask_k & (some proper ancestor has
+    consumed_{k-1})``.  The ancestor flag is computed by a depth-bounded
+    vectorized fixpoint over the parent-pointer array (node_id is pre-order,
+    so parents always precede children; propagation is one gather + OR per
+    tree level, O(depth) numpy passes over the corpus — no per-document
+    Python loop).  Match SET equals the per-document automaton
+    (query_selector_all), which the parity tests assert; result ORDER is a
+    caller concern (the node table is pre-order).
+    """
+    import numpy as np
+
+    parts = selector.split()
+    if not parts:
+        raise ValueError("empty selector")
+
+    node_ids = nodes.column("node_id").to_numpy(zero_copy_only=False)
+    parent_ids = nodes.column("parent_id").to_numpy(zero_copy_only=False)
+    n = len(node_ids)
+    # global row index of each node's parent: rows are consecutive per doc
+    # (node_id == 0 marks a doc start) and parent_id is doc-local
+    doc_start_marks = node_ids == 0
+    doc_start = np.maximum.accumulate(
+        np.where(doc_start_marks, np.arange(n), 0)
+    )
+    has_parent = parent_ids >= 0
+    gparent = np.where(has_parent, doc_start + parent_ids, 0)
+
+    consumed = np.asarray(columnar_part_mask(nodes, parts[0]).to_numpy(
+        zero_copy_only=False), dtype=bool)
+    for part in parts[1:]:
+        pmask = np.asarray(columnar_part_mask(nodes, part).to_numpy(
+            zero_copy_only=False), dtype=bool)
+        # anc[i] = True iff some proper ancestor of i is in `consumed`
+        anc = np.zeros(n, dtype=bool)
+        while True:
+            new_anc = has_parent & (anc[gparent] | consumed[gparent])
+            if (new_anc == anc).all():
+                break
+            anc = new_anc
+        consumed = pmask & anc
+    return consumed
+
+
 def selector_counts(nodes: pa.Table, parts: list[str]) -> pa.Table:
     """Per-doc match counts for each single-part selector (vectorized)."""
     import pandas as pd
 
+    import numpy as np
+
     doc_ids = nodes.column("doc_id").to_pandas()
     frames = []
     for part in parts:
-        mask = columnar_part_mask(nodes, part).to_pandas()
+        if " " in part.strip():
+            mask = pd.Series(columnar_select_mask(nodes, part))
+        else:
+            mask = columnar_part_mask(nodes, part).to_pandas()
         counts = (
             pd.DataFrame({"doc_id": doc_ids, "hit": mask.astype("int64")})
             .groupby("doc_id", as_index=False)["hit"]

@@ -401,3 +401,77 @@ class TestAutomatonVsDP:
             assert got == {id(e) for e in _dp_query_all(root, sel)}
 
         check()
+
+
+class TestColumnarDescendant:
+    """columnar_select_mask (vectorized ancestor propagation) matches the
+    per-document automaton's match SET for descendant chains."""
+
+    DOCS = {
+        "a": "<div><div><div>t</div></div></div>",
+        "b": '<div class="x"><span>s</span><div><span>u</span></div></div>',
+        "c": "<ul><li><ul><li>n</li></ul></li></ul><span>z</span>",
+        "d": '<div id="a"><section><span><div>d</div></span></section></div>',
+        "e": "no elements at all",
+    }
+    SELECTORS = ["div div", "div span", "li li", "div div div",
+                 "#a div", ".x span", "ul li", "div .x"]
+
+    def _nodes(self):
+        import pyarrow as pa
+
+        from node_html_parser_ray.stages.flat_select import explode_nodes_batch
+
+        return explode_nodes_batch(
+            pa.table({"doc_id": list(self.DOCS), "html": list(self.DOCS.values())})
+        )
+
+    def test_fixed_corpus(self):
+        from node_html_parser_ray.stages.flat_select import columnar_select_mask
+
+        nodes = self._nodes()
+        doc_col = nodes.column("doc_id").to_pylist()
+        nid_col = nodes.column("node_id").to_pylist()
+        for sel in self.SELECTORS:
+            mask = columnar_select_mask(nodes, sel)
+            got = {
+                (d, n) for d, n, m in zip(doc_col, nid_col, mask) if m
+            }
+            exp = set()
+            for doc_id, html in self.DOCS.items():
+                root = parse(html)
+                matched = set(map(id, root.query_selector_all(sel)))
+                # recover node ids by pre-order walk (same order as explode)
+                nid = 0
+                stack = [root]
+                while stack:
+                    node = stack.pop()
+                    if id(node) in matched:
+                        exp.add((doc_id, nid))
+                    if node.node_type == 1:
+                        stack.extend(reversed(node.child_nodes))
+                    nid += 1
+            assert got == exp, sel
+
+    def test_fuzz(self):
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from node_html_parser_ray.stages.flat_select import (
+            columnar_select_mask,
+            explode_nodes_batch,
+        )
+
+        alpha = list("<>/=\"' abc divspanli.#x1")
+        markup = st.text(alphabet=st.sampled_from(alpha), max_size=250)
+        sels = st.sampled_from(self.SELECTORS)
+
+        @given(markup, sels)
+        @settings(max_examples=200, deadline=None)
+        def check(html, sel):
+            nodes = explode_nodes_batch(pa.table({"doc_id": ["x"], "html": [html]}))
+            n_col = int(columnar_select_mask(nodes, sel).sum())
+            assert n_col == len(parse(html).query_selector_all(sel)), (html, sel)
+
+        check()
