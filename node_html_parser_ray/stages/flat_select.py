@@ -178,6 +178,17 @@ def columnar_select_mask(nodes: pa.Table, selector: str):
     """
     import numpy as np
 
+    if "," in selector:
+        # comma union (reference querySelectorAll comma semantics is a set
+        # union, src/index.ts:407-409) — OR of the per-selector masks
+        subs = [s for s in selector.split(",") if s.strip()]
+        if not subs:
+            raise ValueError("empty selector")
+        acc = columnar_select_mask(nodes, subs[0])
+        for s in subs[1:]:
+            acc = acc | columnar_select_mask(nodes, s)
+        return acc
+
     parts = selector.split()
     if not parts:
         raise ValueError("empty selector")

@@ -415,7 +415,8 @@ class TestColumnarDescendant:
         "e": "no elements at all",
     }
     SELECTORS = ["div div", "div span", "li li", "div div div",
-                 "#a div", ".x span", "ul li", "div .x"]
+                 "#a div", ".x span", "ul li", "div .x",
+                 "div span, li", "li li, div div, span"]
 
     def _nodes(self):
         import pyarrow as pa
