@@ -422,3 +422,42 @@ class TestGiantDocs:
         assert out["g"]["valid"] == root.valid
         assert out["g"]["metrics"]["n_bytes"] == len(html)
         assert len(got) > 50  # a real page yields many spans
+
+
+class TestSelectorStageColumnarRouting:
+    def test_count_mode_routes_and_matches_kernel(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.kernel import parse
+        from node_html_parser_ray.stages.selector_stage import SelectorStage
+
+        htmls = [
+            '<div class="c"><ul><li>1</li><li class="c">2</li></ul></div>',
+            '<section><div><img src="/a"><span data-x="1">t</span></div></section>',
+            "plain",
+        ]
+        # mix: columnar-eligible (first four) + automaton-only (operator attr)
+        selectors = ["div li", ".c", "div span, li", "[src]", '[data-x="1"]']
+        stage = SelectorStage(selectors, emit_text=False)
+        assert set(stage.columnar) == {"div li", ".c", "div span, li", "[src]"}
+
+        table = pa.Table.from_arrays(
+            [pa.array(["a", "b", "c"], pa.string()),
+             pa.array(htmls, pa.large_string())],
+            names=["doc_id", "html"],
+        )
+        got = {
+            (r["doc_id"], r["selector"]): r["n_matches"]
+            for r in ray.data.from_arrow(table)
+            .map_batches(
+                SelectorStage,
+                fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
+                batch_format="pyarrow", concurrency=1,
+            )
+            .take_all()
+        }
+        for doc_id, html in zip(["a", "b", "c"], htmls):
+            root = parse(html)
+            for sel in selectors:
+                assert got[(doc_id, sel)] == len(root.query_selector_all(sel)), (
+                    doc_id, sel)
