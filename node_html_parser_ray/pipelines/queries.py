@@ -1282,6 +1282,54 @@ def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup: 64-bit codes -> 4x16-bit band keys (Hamming<=3
+    guarantee: two codes within distance 3 share at least one untouched
+    16-bit chunk) -> band groupby -> exact Hamming verification per bucket.
+    The shuffle moves (doc_id, band_key) rows only — never text."""
+    import pandas as pd
+    import ray
+
+    sim = _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    # band rows carry the full code along so the verifier needs no join back
+    def band_with_code(batch: pa.Table) -> pa.Table:
+        bands = dedup.simhash_band_rows(batch)
+        codes = batch.column("simhash").combine_chunks()
+        return bands.append_column("simhash", pa.concat_arrays([codes] * 4))
+
+    def verify(group: "pd.DataFrame") -> "pd.DataFrame":
+        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=ids.dtype),
+                                 "doc_b": pd.Series(dtype=ids.dtype),
+                                 "hamming": pd.Series(dtype="int64")})
+        codes = rows["simhash"].to_numpy().astype(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        x = codes[ai] ^ codes[bi]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for s in range(64):
+            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+        mask = ham <= 3
+        return pd.DataFrame({"doc_a": ids[ai[mask]], "doc_b": ids[bi[mask]],
+                             "hamming": ham[mask]})
+
+    pairs = (
+        sim.map_batches(band_with_code, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+    # candidate pairs can repeat across bands: final exact-pair distinct
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .map_groups(
+            lambda g: g.head(1), batch_format="pandas"
+        )
+        .select_columns(["doc_a", "doc_b", "hamming"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
@@ -1417,6 +1465,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "minhash_neardup": q_minhash_neardup,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "fingerprints": q_fingerprints,
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,

@@ -218,17 +218,17 @@ def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
 
 def simhash_band_rows(batch: pa.Table) -> pa.Table:
     """flat_map: 4 x 16-bit chunks as near-dup bucket keys (Hamming<=3)."""
-    doc_ids = batch.column("doc_id").to_pylist()
     codes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-    out_doc: list[str] = []
-    out_key: list[int] = []
-    for b in range(4):
-        chunk = (codes >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-        for doc_id, c in zip(doc_ids, chunk):
-            out_doc.append(doc_id)
-            out_key.append((b << 16) | int(c))
+    keys = np.concatenate(
+        [
+            (np.uint64(b << 16) | ((codes >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+            for b in range(4)
+        ]
+    ).astype(np.int64)
+    ids = batch.column("doc_id").combine_chunks()
+    doc_col = pa.concat_arrays([ids] * 4)
     return pa.Table.from_arrays(
-        [pa.array(out_doc, pa.string()), pa.array(out_key, pa.int64())],
+        [doc_col, pa.array(keys, pa.int64())],
         names=["doc_id", "band_key"],
     )
 

@@ -461,3 +461,56 @@ class TestSelectorStageColumnarRouting:
             for sel in selectors:
                 assert got[(doc_id, sel)] == len(root.query_selector_all(sel)), (
                     doc_id, sel)
+
+
+class TestSimhashNearDup:
+    def test_planted_neardup_found(self, ray_session):
+        """A doc with one changed word pairs with its original (Hamming<=3
+        on 4x16 bands); an unrelated doc does not pair with either."""
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from node_html_parser_ray.stages.dedup import (
+            simhash_band_rows,
+            simhash_batch,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy", 1)
+        other = "completely different content about database engines " * 8
+        table = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+
+        sim = ray.data.from_arrow(table).map_batches(
+            simhash_batch, batch_format="pyarrow"
+        )
+
+        def band_with_code(batch: pa.Table) -> pa.Table:
+            bands = simhash_band_rows(batch)
+            codes = batch.column("simhash").combine_chunks()
+            return bands.append_column("simhash", pa.concat_arrays([codes] * 4))
+
+        def verify(group: pd.DataFrame) -> pd.DataFrame:
+            rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].to_numpy()
+            if len(ids) < 2:
+                return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            codes = rows["simhash"].to_numpy().astype(np.uint64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = codes[ai] ^ codes[bi]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for s in range(64):
+                ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+            m = ham <= 3
+            return pd.DataFrame({"doc_a": ids[ai[m]], "doc_b": ids[bi[m]],
+                                 "hamming": ham[m]})
+
+        pairs = {
+            (int(r["doc_a"]), int(r["doc_b"]))
+            for r in sim.map_batches(band_with_code, batch_format="pyarrow")
+            .groupby("band_key")
+            .map_groups(verify, batch_format="pandas")
+            .take_all()
+        }
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
