@@ -195,19 +195,38 @@ def shard_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+# bit position p of the historical unpackbits(LE-bytes) layout = bit
+# 8*(p//8) + 7 - p%8 of the uint64 — kept so codes are layout-stable
+_SIMHASH_SHIFTS = np.array(
+    [8 * (p // 8) + 7 - (p % 8) for p in range(64)], dtype=np.uint64
+)
+
+
 def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """64-bit SimHash over whitespace tokens (weighted bit-vote)."""
+    """64-bit SimHash over whitespace tokens (weighted bit-vote).
+
+    One vectorized (n_tokens, 64) bit matrix per document instead of a
+    64-wide numpy op per token.
+    """
     texts = batch.column(text_column).to_pylist()
     out = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        votes = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").split():
-            data = tok.encode("utf-8", "surrogatepass")
-            h = np.uint64((zlib.crc32(data) << 32) | zlib.crc32(data[::-1]))
-            bits = np.unpackbits(
-                np.frombuffer(h.tobytes(), dtype=np.uint8)
+        toks = (t or "").split()
+        if toks:
+            hs = np.fromiter(
+                (
+                    (zlib.crc32(d) << 32) | zlib.crc32(d[::-1])
+                    for d in (tok.encode("utf-8", "surrogatepass") for tok in toks)
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = (
+                (hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
             ).astype(np.int64)
-            votes += 2 * bits - 1
+            votes = (2 * bits - 1).sum(axis=0)
+        else:
+            votes = np.zeros(64, dtype=np.int64)
         code = np.packbits((votes > 0).astype(np.uint8))
         out[i] = np.frombuffer(code.tobytes(), dtype=np.int64)[0]
     return pa.Table.from_arrays(
