@@ -112,18 +112,26 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: crc32 of full text + crc32 of 8-gram window set.
 
     The windowed fingerprint (min of rolling window hashes — a 1-perm
-    MinHash) is stable under small appends, unlike the full hash.
+    MinHash) is *usually* stable under small appends (it changes only when
+    a new window hashes below the current minimum), unlike the full hash.
     """
     texts = batch.column("text").to_pylist()
     full = np.empty(len(texts), dtype=np.int64)
     windowed = np.empty(len(texts), dtype=np.int64)
+    # FNV-prime powers (uint64 wraparound) for a vectorized 8-byte window
+    # hash: all windows of a document hash in ONE numpy pass instead of a
+    # Python crc call per window
+    weights = np.cumprod(
+        np.full(8, 1099511628211, dtype=np.uint64), dtype=np.uint64
+    )
     for i, t in enumerate(texts):
         data = t.encode("utf-8", "surrogatepass")
         full[i] = zlib.crc32(data)
         if len(data) >= 8:
-            windowed[i] = min(
-                zlib.crc32(data[j : j + 8]) for j in range(0, len(data) - 7, 4)
-            )
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            wins = np.lib.stride_tricks.sliding_window_view(arr, 8)[::4]
+            hashes = (wins * weights).sum(axis=1, dtype=np.uint64)
+            windowed[i] = int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
         else:
             windowed[i] = zlib.crc32(data)
     return pa.Table.from_arrays(
