@@ -29,6 +29,32 @@ def _docs(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _pool(frac: int = 4) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster.
+
+    min=1 keeps the streaming executor deadlock-free at tiny ``num_cpus``
+    (fixed pools summing to num_cpus deadlock — round-1 finding); the cap
+    scales with the cluster so stateful stages are not starved at 32+ CPUs
+    (round-1 verdict #4: a hard cap of 2 starved media/selector/ann stages).
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(2, cpus // frac))
+
+
+def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
+    """Drop zero-row/zero-column blocks before ``pa.concat_tables``.
+
+    Ray Data can surface fully-filtered blocks as empty-schema tables, and
+    ``concat_tables`` refuses to unify those (round-1 red row ann_topk_ivf).
+    """
+    return [t for t in tables if t.num_rows > 0 and t.num_columns > 0]
+
+
 # ---------------------------------------------------------------------------
 # Deterministic HTML synthesis from the provided documents table: the driver
 # testdata has no markup, so HTML-semantic queries wrap each document's text
@@ -177,10 +203,12 @@ def q_exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     ds = _docs(sf_dir).map_batches(dedup.add_text_hash, batch_format="pyarrow")
-    g = ds.groupby("text_hash").aggregate(Min("doc_id"), Count())
+    g = ds.groupby(["text_hash", "text_hash_lo"]).aggregate(Min("doc_id"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(["text_hash", "keeper_id", "dup_count"])
+        batch = batch.rename_columns(
+            ["text_hash", "text_hash_lo", "keeper_id", "dup_count"]
+        )
         return batch.select(["keeper_id", "dup_count"])
 
     return g.map_batches(rename, batch_format="pyarrow")
@@ -242,13 +270,13 @@ def q_ann_topk(sf_dir: str):
         similarity.TopKCosine,
         fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     )
     # global top-k over the small per-block candidate set
     table = candidates.to_arrow_refs()
     import ray as _ray
 
-    merged = pa.concat_tables([_ray.get(r) for r in table])
+    merged = pa.concat_tables(_nonempty([_ray.get(r) for r in table]))
     idx = sorted(
         range(len(merged)),
         key=lambda i: (-merged.column("cosine")[i].as_py(), merged.column("vec_id")[i].as_py()),
@@ -277,9 +305,15 @@ def q_ann_topk_ivf(sf_dir: str):
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = pq.read_table(path, columns=["vec_id", "embedding"])
-    sample_mat = np.asarray(sample.column("embedding").to_pylist(), dtype=np.float32)
-    centroids = similarity.spherical_kmeans(sample_mat[:2048], k=16)
+    # train the coarse quantizer on ONE row-group — never a full-table
+    # driver read (at 100 TB that read is the scale-killer IVF exists to
+    # avoid; round-1 verdict #2)
+    pf = pq.ParquetFile(path)
+    sample = pf.read_row_group(0, columns=["embedding"])
+    sample_mat = np.asarray(
+        sample.column("embedding").to_pylist()[:2048], dtype=np.float32
+    )
+    centroids = similarity.spherical_kmeans(sample_mat, k=16)
     qt = pq.read_table(path, columns=["vec_id", "embedding"],
                        filters=[("vec_id", "==", 0)])
     q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
@@ -292,7 +326,7 @@ def q_ann_topk_ivf(sf_dir: str):
         similarity.IVFAssign,
         fn_constructor_kwargs={"centroids_ref": c_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     )
     probe_set = pa.array(cells, pa.int32())
 
@@ -303,10 +337,10 @@ def q_ann_topk_ivf(sf_dir: str):
         similarity.TopKCosine,
         fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     )
     merged = pa.concat_tables(
-        [ray.get(r) for r in candidates.to_arrow_refs()]
+        _nonempty([ray.get(r) for r in candidates.to_arrow_refs()])
     )
     idx = sorted(
         range(len(merged)),
@@ -377,7 +411,7 @@ def q_orders_by_nation(sf_dir: str):
             JoinAndPartial,
             fn_constructor_kwargs={"ref": lookup_ref},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=_pool(),
         )
         .groupby("n_name")
         .aggregate(Sum("part_n"), Sum("part_sum"))
@@ -1092,11 +1126,11 @@ def q_validation_pass_rate(sf_dir: str):
         fn_constructor_kwargs={"ref": golden_ref},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 2),
+        concurrency=_pool(),
     )
     import ray as _ray
 
-    merged = pa.concat_tables([_ray.get(r) for r in parts.to_arrow_refs()])
+    merged = pa.concat_tables(_nonempty([_ray.get(r) for r in parts.to_arrow_refs()]))
     n_pass = pc.sum(merged.column("n_pass")).as_py() or 0
     n_fail = pc.sum(merged.column("n_fail")).as_py() or 0
     total = n_pass + n_fail
@@ -1209,7 +1243,7 @@ def q_selectors(sf_dir: str):
         selector_stage.SelectorStage,
         fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     ).select_columns(["doc_id", "selector", "n_matches"])
 
 
@@ -1251,7 +1285,7 @@ def q_boilerplate(sf_dir: str):
     return ds.map_batches(
         classify.BoilerplateClassifier,
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=_pool(),
     ).select_columns(["doc_id", "n_content_blocks", "n_boilerplate_blocks"])
 
 
@@ -1371,7 +1405,7 @@ def q_media_features(sf_dir: str):
     ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     return ds.map_batches(
-        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=_pool()
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
@@ -1391,7 +1425,7 @@ def q_frame_pipeline(sf_dir: str):
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     frames = ds.map_batches(
         FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
-        batch_format="pyarrow", batch_size=32, concurrency=(1, 2),
+        batch_format="pyarrow", batch_size=32, concurrency=_pool(),
     )
     resized = frames.map_batches(
         lambda b: b.rename_columns(
@@ -1400,7 +1434,7 @@ def q_frame_pipeline(sf_dir: str):
         batch_format="pyarrow",
     ).map_batches(
         ImageResizeStage, fn_constructor_kwargs={"width": 64, "height": 64},
-        batch_format="pyarrow", batch_size=64, concurrency=(1, 2),
+        batch_format="pyarrow", batch_size=64, concurrency=_pool(),
     )
 
     def partial(batch: pa.Table) -> pa.Table:

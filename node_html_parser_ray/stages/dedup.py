@@ -54,13 +54,27 @@ def _to_i64(u: int) -> int:
 
 
 def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Append a stable 64-bit content hash (crc32 pair) for exact dedup."""
+    """Append a stable 128-bit content hash (blake2b) for exact dedup.
+
+    Two int64 columns ``text_hash`` / ``text_hash_lo`` so the groupby key is
+    plain fixed-width integers.  128 bits keeps the birthday bound far past
+    the 10^12-doc target (a 64-bit key collides with ~certainty there —
+    round-1 verdict #3); the shuffle still moves 16-byte keys, never text.
+    """
+    import hashlib
+
     texts = batch.column(column).to_pylist()
-    hashes = np.empty(len(texts), dtype=np.int64)
+    hi = np.empty(len(texts), dtype=np.int64)
+    lo = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        data = (t or "").encode("utf-8", "surrogatepass")
-        hashes[i] = _to_i64((zlib.crc32(data) << 32) | zlib.crc32(data[::-1]))
-    return batch.append_column("text_hash", pa.array(hashes, pa.int64()))
+        d = hashlib.blake2b(
+            (t or "").encode("utf-8", "surrogatepass"), digest_size=16
+        ).digest()
+        hi[i] = int.from_bytes(d[:8], "little", signed=True)
+        lo[i] = int.from_bytes(d[8:], "little", signed=True)
+    return batch.append_column(
+        "text_hash", pa.array(hi, pa.int64())
+    ).append_column("text_hash_lo", pa.array(lo, pa.int64()))
 
 
 def keep_first_in_group(group: pd.DataFrame) -> pd.DataFrame:

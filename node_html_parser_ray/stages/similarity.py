@@ -29,9 +29,13 @@ __all__ = [
 
 def embedding_matrix(batch: pa.Table, column: str = "embedding") -> np.ndarray:
     """Zero-copy-ish extraction of a list<float> column to (n, d) float32."""
+    n = len(batch)
+    if n == 0:
+        # reshape(0, -1) raises on an empty flat array — return an explicit
+        # 0-row matrix (fully-filtered upstream blocks reach here)
+        return np.zeros((0, 0), dtype=np.float32)
     col = batch.column(column).combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
-    n = len(batch)
     return flat.reshape(n, -1)
 
 
@@ -56,6 +60,12 @@ class TopKCosine:
         self.q_normed = q / norms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                names=["query_idx", "vec_id", "cosine"],
+            )
         ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
         emb = embedding_matrix(batch)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -130,6 +140,8 @@ class IVFAssign:
         self.column = column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("ivf_cell", pa.array([], pa.int32()))
         emb = _normalize(embedding_matrix(batch, self.column))
         cell = np.argmax(emb @ self.centroids.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_cell", pa.array(cell, pa.int32()))

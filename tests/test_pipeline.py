@@ -193,9 +193,43 @@ class TestDedupStages:
             names=["doc_id", "text"],
         )
         ds = ray.data.from_arrow(table).map_batches(add_text_hash, batch_format="pyarrow")
-        g = ds.groupby("text_hash").aggregate(Min("doc_id"), Count()).take_all()
+        g = (
+            ds.groupby(["text_hash", "text_hash_lo"])
+            .aggregate(Min("doc_id"), Count())
+            .take_all()
+        )
         by_keeper = {r["min(doc_id)"]: r["count()"] for r in g}
         assert by_keeper == {1: 3, 3: 1}
+
+    def test_text_hash_128bit_no_adversarial_collisions(self):
+        """128-bit hash: distinct adversarial inputs -> distinct (hi, lo) keys.
+
+        Guards the round-1 regression class (64-bit crc32-pair key collides
+        with ~certainty at the 10^12-doc target scale).
+        """
+        from node_html_parser_ray.stages.dedup import add_text_hash
+
+        texts = []
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        for i in range(500):
+            texts.append(base + str(i))
+            texts.append(str(i) + base)
+            texts.append(base[:i % len(base)] + "\x00" + base[i % len(base):])
+        texts += ["", " ", "\x00", "a", "A", base, base[::-1],
+                  base.upper(), base + "￿"]
+        table = pa.Table.from_arrays(
+            [pa.array(list(range(len(texts))), pa.int64()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+        out = add_text_hash(table)
+        keys = set(zip(out.column("text_hash").to_pylist(),
+                       out.column("text_hash_lo").to_pylist()))
+        assert len(keys) == len(set(texts))
+        # determinism across calls
+        out2 = add_text_hash(table)
+        assert out.column("text_hash").equals(out2.column("text_hash"))
+        assert out.column("text_hash_lo").equals(out2.column("text_hash_lo"))
 
     def test_minhash_lsh_finds_near_dups(self, ray_session):
         import ray
