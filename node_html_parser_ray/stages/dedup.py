@@ -47,12 +47,6 @@ _PERM_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 _PERM_B = _rng.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 
 
-def _to_i64(u: int) -> int:
-    """Wrap an unsigned 64-bit value into signed int64 range."""
-    u &= 0xFFFFFFFFFFFFFFFF
-    return u - (1 << 64) if u >= (1 << 63) else u
-
-
 def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
     """Append a stable 128-bit content hash (blake2b) for exact dedup.
 
@@ -85,15 +79,33 @@ def keep_first_in_group(group: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Hash the set of k-char shingles (crc32, C speed)."""
-    data = text.encode("utf-8", "surrogatepass")
-    if len(data) < k:
-        return np.array([zlib.crc32(data)], dtype=np.int64)
-    return np.fromiter(
-        {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)},
-        dtype=np.int64,
-    )
+def _utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data_bytes, offsets) view of a string column.
+
+    Arrow strings are already utf-8, so the values buffer is the exact byte
+    stream MinHash shingles over — no per-doc Python encode.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    elif pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        arr = arr.cast(pa.large_string())
+        off_dtype = np.int64
+    bufs = arr.buffers()
+    offs = np.frombuffer(
+        bufs[1], dtype=off_dtype, count=len(arr) + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    ).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offs
+
+
+_PERM_A_U = _PERM_A.astype(np.uint64)
+_PERM_B_U = _PERM_B.astype(np.uint64)
+_MERSENNE_U = np.uint64(_MERSENNE)
+_SHINGLE_MASK = np.uint64((1 << 40) - 1)
 
 
 def minhash_signatures_batch(
@@ -101,58 +113,99 @@ def minhash_signatures_batch(
 ) -> pa.Table:
     """Per-doc MinHash signature (MINHASH_PERMS x int64), fully vectorized.
 
-    signature[p] = min over shingles of (a_p * h + b_p) mod M.
+    signature[p] = min over the doc's distinct k-byte shingles of
+    (a_p * h + b_p) mod M, where h is the shingle's exact 40-bit value
+    (k=5 bytes pack losslessly — no shingle hash collisions at all).
+
+    No per-doc Python loop (round-1 verdict #5): the whole batch's utf-8
+    bytes are viewed zero-copy, all windows hashed in k vectorized passes,
+    deduped per doc with one ``np.unique`` over (doc_idx << 40 | shingle),
+    and reduced per permutation with ``np.minimum.reduceat``.
     """
-    texts = batch.column(text_column).to_pylist()
-    sigs = np.empty((len(texts), MINHASH_PERMS), dtype=np.int64)
-    for i, t in enumerate(texts):
-        h = _shingle_hashes(t or "", k)
-        # (P x S) = outer product mod M; min along shingles
-        vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
-        sigs[i] = vals.min(axis=1)
+    n = len(batch)
+    sigs = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
+    data, offs = _utf8_flat(batch.column(text_column))
+    base = int(offs[0])
+    rel = offs - base
+    total = int(rel[-1])
+    buf = data[base : base + total]
+    W = total - k + 1
+    has = np.zeros(n, dtype=bool)
+    if W > 0 and n:
+        H = np.zeros(W, np.uint64)
+        for j in range(k):
+            H = (H << np.uint64(8)) | buf[j : j + W].astype(np.uint64)
+        w = np.arange(W, dtype=np.int64)
+        doc_idx = np.searchsorted(rel, w, side="right") - 1
+        valid = w <= rel[doc_idx + 1] - k
+        keys = (doc_idx[valid].astype(np.uint64) << np.uint64(40)) | H[valid]
+        uk = np.unique(keys)
+        m = len(uk)
+        if m:
+            udoc = (uk >> np.uint64(40)).astype(np.int64)
+            uh = uk & _SHINGLE_MASK
+            seg = np.searchsorted(udoc, np.arange(n, dtype=np.int64))
+            has = np.searchsorted(udoc, np.arange(n, dtype=np.int64), side="right") > seg
+            # row buffer has one sentinel slot so empty tail segments index
+            # in-bounds for reduceat; the sentinel is uint64-max because the
+            # LAST segment always includes it (reduceat runs to end-of-row)
+            # and must never win the min
+            row = np.empty(m + 1, np.uint64)
+            row[m] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            for p in range(MINHASH_PERMS):
+                np.multiply(uh, _PERM_A_U[p], out=row[:m])
+                row[:m] += _PERM_B_U[p]
+                row[:m] %= _MERSENNE_U
+                sigs[:, p] = np.minimum.reduceat(row, seg)
+    # fallback: docs shorter than k shingle as one whole-bytes value
+    for d in np.nonzero(~has)[0]:
+        lo, hi = int(rel[d]), int(rel[d + 1])
+        h = np.uint64(int.from_bytes(data[base + lo : base + hi].tobytes(), "big"))
+        sigs[d] = (_PERM_A_U * h + _PERM_B_U) % _MERSENNE_U
     sig_col = pa.FixedSizeListArray.from_arrays(
-        pa.array(sigs.reshape(-1), pa.int64()), MINHASH_PERMS
+        pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()), MINHASH_PERMS
     )
     return pa.Table.from_arrays(
         [batch.column("doc_id"), sig_col], names=["doc_id", "minhash"]
     )
 
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def lsh_band_rows(batch: pa.Table, n_shards: int = 1024) -> pa.Table:
     """flat_map: one row per (doc, band) with exact band key + coarse shard.
 
     ``band_shard`` is the shuffle key for :func:`shard_candidate_pairs`:
-    uniformly distributed by construction (hash of signature bytes), so the
-    groupby is skew-free.
+    uniformly distributed by construction (FNV fold of signature values), so
+    the groupby is skew-free.  Fully vectorized: one FNV-1a fold over the
+    (n_docs,) column per band row — no per-(doc, band) Python loop.
     """
-    doc_ids = batch.column("doc_id").to_pylist()
+    n = len(batch)
     sigs = (
         batch.column("minhash")
         .combine_chunks()
         .flatten()
         .to_numpy(zero_copy_only=False)
-        .reshape(len(doc_ids), MINHASH_PERMS)
+        .reshape(n, MINHASH_PERMS)
+        .astype(np.uint64)
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
-    out_doc: list = []
-    out_band: list[int] = []
-    out_key: list[int] = []
-    out_shard: list[int] = []
+    keys = np.empty((LSH_BANDS, n), np.uint64)
     for b in range(LSH_BANDS):
-        chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-        # stable band key: crc32 of the band bytes
-        for i, doc_id in enumerate(doc_ids):
-            key = (b << 32) | zlib.crc32(chunk[i].tobytes())
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_key.append(key)
-            out_shard.append(key % n_shards)
+        acc = np.full(n, _FNV_OFFSET ^ np.uint64(b), dtype=np.uint64)
+        for j in range(rows_per_band):
+            acc = (acc ^ sigs[:, b * rows_per_band + j]) * _FNV_PRIME
+        keys[b] = acc
+    flat_keys = keys.reshape(-1)
+    ids = batch.column("doc_id").combine_chunks()
     return pa.Table.from_arrays(
         [
-            pa.array(out_doc, batch.column("doc_id").type),
-            pa.array(out_band, pa.int32()),
-            pa.array(out_key, pa.int64()),
-            pa.array(out_shard, pa.int32()),
+            pa.concat_arrays([ids] * LSH_BANDS),
+            pa.array(np.repeat(np.arange(LSH_BANDS, dtype=np.int32), n), pa.int32()),
+            pa.array(flat_keys.view(np.int64), pa.int64()),
+            pa.array((flat_keys % np.uint64(n_shards)).astype(np.int32), pa.int32()),
         ],
         names=["doc_id", "band", "band_key", "band_shard"],
     )

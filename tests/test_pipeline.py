@@ -231,6 +231,36 @@ class TestDedupStages:
         assert out.column("text_hash").equals(out2.column("text_hash"))
         assert out.column("text_hash_lo").equals(out2.column("text_hash_lo"))
 
+    def test_minhash_batch_split_invariance(self):
+        """Signatures are identical whether a corpus arrives as one Arrow
+        batch or as zero-copy slices (regression: the reduceat sentinel once
+        zeroed the LAST doc of every batch; slices share the parent buffer so
+        offset handling must be exact)."""
+        import numpy as np
+
+        from node_html_parser_ray.stages.dedup import minhash_signatures_batch
+
+        rng = np.random.RandomState(7)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "x", "yy"]
+        texts = [
+            " ".join(words[j] for j in rng.randint(0, len(words), 30))
+            for _ in range(50)
+        ] + ["", "ab", "abcd"]
+        table = pa.Table.from_arrays(
+            [pa.array([str(i) for i in range(len(texts))], pa.string()),
+             pa.array(texts, pa.string())],
+            names=["doc_id", "text"],
+        )
+        full = np.array(
+            minhash_signatures_batch(table).column("minhash").to_pylist()
+        )
+        for lo, hi in [(0, 7), (7, 20), (20, 53), (52, 1)]:
+            part = np.array(
+                minhash_signatures_batch(table.slice(lo, hi))
+                .column("minhash").to_pylist()
+            )
+            assert (part == full[lo:lo + hi]).all(), (lo, hi)
+
     def test_minhash_lsh_finds_near_dups(self, ray_session):
         import ray
 
@@ -240,8 +270,11 @@ class TestDedupStages:
             minhash_signatures_batch,
         )
 
+        # near-dup must sit clearly ABOVE the 16x8 LSH threshold (~0.71
+        # Jaccard): a short appended tail keeps J ~ 0.9; a 16-char tail puts
+        # J at ~0.73 where detection is a coin flip by design
         base = "the quick brown fox jumps over the lazy dog " * 20
-        texts = [base, base + "tail difference.", "completely unrelated words " * 25]
+        texts = [base, base + "x", "completely unrelated words " * 25]
         table = pa.Table.from_arrays(
             [pa.array(["a", "b", "c"], pa.string()), pa.array(texts, pa.string())],
             names=["doc_id", "text"],
