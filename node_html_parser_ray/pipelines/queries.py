@@ -1319,10 +1319,12 @@ def q_simhash(sf_dir: str):
 def q_simhash_neardup(sf_dir: str):
     """SimHash near-dup: 64-bit codes -> 4x16-bit band keys (Hamming<=3
     guarantee: two codes within distance 3 share at least one untouched
-    16-bit chunk) -> band groupby -> exact Hamming verification per bucket.
-    The shuffle moves (doc_id, band_key) rows only — never text."""
-    import pandas as pd
+    16-bit chunk) -> band groupby -> sorted sliding-window Hamming
+    verification per bucket (near-linear, scale-safe — round-1 verdict #4's
+    O(bucket^2) triu verify replaced).  Shuffles move (doc_id, band_key,
+    code) rows only — never text."""
     import ray
+    from ray.data.aggregate import Min
 
     sim = _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
     # band rows carry the full code along so the verifier needs no join back
@@ -1331,37 +1333,20 @@ def q_simhash_neardup(sf_dir: str):
         codes = batch.column("simhash").combine_chunks()
         return bands.append_column("simhash", pa.concat_arrays([codes] * 4))
 
-    def verify(group: "pd.DataFrame") -> "pd.DataFrame":
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=ids.dtype),
-                                 "doc_b": pd.Series(dtype=ids.dtype),
-                                 "hamming": pd.Series(dtype="int64")})
-        codes = rows["simhash"].to_numpy().astype(np.uint64)
-        ai, bi = np.triu_indices(len(ids), k=1)
-        x = codes[ai] ^ codes[bi]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for s in range(64):
-            ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
-        mask = ham <= 3
-        return pd.DataFrame({"doc_a": ids[ai[mask]], "doc_b": ids[bi[mask]],
-                             "hamming": ham[mask]})
-
     pairs = (
         sim.map_batches(band_with_code, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(dedup.simhash_window_pairs, batch_format="pandas")
     )
 
-    # candidate pairs can repeat across bands: final exact-pair distinct
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .map_groups(
-            lambda g: g.head(1), batch_format="pandas"
-        )
-        .select_columns(["doc_a", "doc_b", "hamming"])
-    )
+    # candidate pairs repeat across bands with identical hamming: one
+    # aggregate (no per-pair Python map_groups) makes them distinct
+    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_a", "doc_b", "hamming"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
 
 
 def q_fingerprints(sf_dir: str):

@@ -31,6 +31,8 @@ __all__ = [
     "bucket_candidate_pairs",
     "simhash_batch",
     "simhash_band_rows",
+    "simhash_window_pairs",
+    "popcount64",
     "ngram_jaccard_pairs",
     "MINHASH_PERMS",
     "LSH_BANDS",
@@ -317,6 +319,62 @@ def simhash_band_rows(batch: pa.Table) -> pa.Table:
         [doc_col, pa.array(keys, pa.int64())],
         names=["doc_id", "band_key"],
     )
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_window_pairs(
+    group: pd.DataFrame, max_hamming: int = 3, window: int = 64
+) -> pd.DataFrame:
+    """Near-linear in-bucket verification: sorted codes + sliding window.
+
+    Replaces the all-pairs ``triu_indices`` verify (round-1 verdict: a
+    16-bit band bucket holds ~10^7 docs at 10^12 scale, so O(bucket^2) is
+    a scale-killer).  Standard sorted-fingerprint scheme (Manku et al.,
+    WWW'07): within a band bucket every code shares the band's 16 bits, so
+    sorting by the full code clusters low-Hamming neighbours; each code is
+    compared against the next ``window`` codes only — O(bucket x window)
+    with ``window`` the recall/cost knob (codes further apart in sorted
+    order than ``window`` share the band but differ high in the remaining
+    bits).  Exhaustive whenever the bucket is smaller than ``window``.
+    """
+    rows = group.drop_duplicates("doc_id")
+    ids = rows["doc_id"].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=ids.dtype),
+                             "doc_b": pd.Series(dtype=ids.dtype),
+                             "hamming": pd.Series(dtype="int64")})
+    codes = rows["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+    order = np.argsort(codes, kind="stable")
+    codes, ids = codes[order], ids[order]
+    w = min(window, len(ids) - 1)
+    out_a, out_b, out_h = [], [], []
+    for d in range(1, w + 1):
+        ham = popcount64(codes[:-d] ^ codes[d:])
+        mask = ham <= max_hamming
+        if mask.any():
+            ia, ib = ids[:-d][mask], ids[d:][mask]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_h.append(ham[mask])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series(dtype=ids.dtype),
+                             "doc_b": pd.Series(dtype=ids.dtype),
+                             "hamming": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "doc_a": np.concatenate(out_a),
+        "doc_b": np.concatenate(out_b),
+        "hamming": np.concatenate(out_h),
+    })
 
 
 def ngram_jaccard_pairs(

@@ -531,6 +531,51 @@ class TestSelectorStageColumnarRouting:
 
 
 class TestSimhashNearDup:
+    def test_window_verify_matches_brute_force(self):
+        """Sorted sliding-window verification == all-pairs triu whenever the
+        bucket fits inside the window (exhaustiveness contract)."""
+        import numpy as np
+        import pandas as pd
+
+        from node_html_parser_ray.stages.dedup import (
+            popcount64,
+            simhash_window_pairs,
+        )
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(-(2 ** 62), 2 ** 62, size=8, dtype=np.int64)
+        codes = []
+        for c in base:
+            codes.append(c)
+            for _ in range(5):  # plant Hamming<=3 neighbours
+                flip = np.int64(0)
+                for b in rng.randint(0, 64, size=rng.randint(0, 4)):
+                    flip ^= np.int64(1) << np.int64(int(b))
+                codes.append(c ^ flip)
+        group = pd.DataFrame(
+            {"doc_id": np.arange(len(codes), dtype=np.int64),
+             "simhash": np.array(codes, dtype=np.int64)}
+        )
+        got = simhash_window_pairs(group, window=64)
+        got_set = set(zip(got["doc_a"], got["doc_b"], got["hamming"]))
+        u = np.array(codes, dtype=np.int64).astype(np.uint64)
+        ai, bi = np.triu_indices(len(u), k=1)
+        ham = popcount64(u[ai] ^ u[bi])
+        mask = ham <= 3
+        want = set(zip(ai[mask].astype(np.int64), bi[mask].astype(np.int64),
+                       ham[mask]))
+        assert got_set == want
+
+    def test_popcount64(self):
+        import numpy as np
+
+        from node_html_parser_ray.stages.dedup import popcount64
+
+        vals = np.array([0, 1, 3, -1, 2 ** 62, -(2 ** 63)], dtype=np.int64)
+        got = popcount64(vals)
+        want = [bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1") for v in vals]
+        assert got.tolist() == want
+
     def test_planted_neardup_found(self, ray_session):
         """A doc with one changed word pairs with its original (Hamming<=3
         on 4x16 bands); an unrelated doc does not pair with either."""
