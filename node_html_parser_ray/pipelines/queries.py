@@ -46,6 +46,33 @@ def _pool(frac: int = 4) -> tuple[int, int]:
     return (1, max(2, cpus // frac))
 
 
+def _coarse_shards(multiple: int = 4) -> int:
+    """Power-of-two coarse-shard count scaled to the cluster.
+
+    Coarse-keyed ``groupby().map_groups`` stages (sessions, sliding window,
+    as-of join) materialize one shard per task, so a FIXED shard constant
+    caps parallelism and lets per-group size grow unboundedly with input
+    (round-1 verdict #6).  Scaling with ``cluster_resources()`` keeps
+    per-shard size ~ input / (multiple x cpus); on a real multi-node
+    cluster the CPU total reflects every node.  Power of two so the shard
+    key is a bit-mask.  ``NHPR_COARSE_SHARDS`` overrides for the
+    shard-count-invariance tests.
+    """
+    env = os.environ.get("NHPR_COARSE_SHARDS")
+    if env:
+        return int(env)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    n = 1
+    while n < cpus * multiple:
+        n <<= 1
+    return n
+
+
 def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
     """Drop zero-row/zero-column blocks before ``pa.concat_tables``.
 
@@ -442,13 +469,16 @@ def q_sessions(sf_dir: str):
     import pandas as pd
     import ray
 
+    n_shards = _coarse_shards()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pc.cast(
-            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pc.bit_wise_and(
+                batch.column("user_id"), pa.scalar(n_shards - 1, pa.int64())
+            ),
             pa.int32(),
         )
         return batch.append_column("user_shard", shard)
@@ -721,7 +751,8 @@ def q_segment_order_revenue(sf_dir: str):
 
     rev = rev.map_batches(rn, batch_format="pyarrow")
     joined = rev.join(
-        orders_f, join_type="inner", num_partitions=8, on=("o_orderkey",)
+        orders_f, join_type="inner", num_partitions=_coarse_shards(2),
+        on=("o_orderkey",),
     )
 
     def block_topk(batch: pa.Table) -> pa.Table:
@@ -825,7 +856,7 @@ def q_asof_last_order(sf_dir: str):
     import pandas as pd
     import ray
 
-    n_shards = 32
+    n_shards = _coarse_shards()
 
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
@@ -955,6 +986,7 @@ def q_sliding_window(sf_dir: str):
     import pandas as pd
     import ray
 
+    n_shards = _coarse_shards()
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts"],
@@ -962,7 +994,9 @@ def q_sliding_window(sf_dir: str):
 
     def add_shard(batch: pa.Table) -> pa.Table:
         shard = pc.cast(
-            pc.bit_wise_and(batch.column("user_id"), pa.scalar(63, pa.int64())),
+            pc.bit_wise_and(
+                batch.column("user_id"), pa.scalar(n_shards - 1, pa.int64())
+            ),
             pa.int32(),
         )
         return batch.append_column("user_shard", shard)

@@ -626,3 +626,38 @@ class TestSimhashNearDup:
         }
         assert (1, 2) in pairs
         assert not any(3 in p for p in pairs)
+
+
+class TestShardCountInvariance:
+    """Coarse-shard counts are a pure parallelism knob: results must be
+    identical at any shard count (round-1 verdict #6 — constants replaced by
+    cluster-scaled counts, so invariance is the correctness contract)."""
+
+    @staticmethod
+    def _run(monkeypatch, name, shards, sf="/root/testdata/sf0.001"):
+        import os
+
+        from node_html_parser_ray.pipelines import queries as q
+
+        os.environ["NHPR_COARSE_SHARDS"] = str(shards)
+        try:
+            df = q.QUERIES[name](sf)
+            df = df.to_pandas() if hasattr(df, "to_pandas") else df
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+        finally:
+            del os.environ["NHPR_COARSE_SHARDS"]
+
+    def test_sessions_shard_invariant(self, ray_session, monkeypatch):
+        a = self._run(monkeypatch, "sessions", 4)
+        b = self._run(monkeypatch, "sessions", 64)
+        assert a.equals(b)
+
+    def test_asof_shard_invariant(self, ray_session, monkeypatch):
+        a = self._run(monkeypatch, "asof_last_order", 4)
+        b = self._run(monkeypatch, "asof_last_order", 64)
+        assert a.equals(b)
+
+    def test_sliding_window_shard_invariant(self, ray_session, monkeypatch):
+        a = self._run(monkeypatch, "sliding_window", 4)
+        b = self._run(monkeypatch, "sliding_window", 64)
+        assert a.equals(b)
