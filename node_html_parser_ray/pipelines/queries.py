@@ -1390,16 +1390,25 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding near-dup via hyperplane LSH buckets (rows-only)."""
+    """Embedding near-dup via hyperplane LSH buckets (rows-only).
+
+    Plane count scales with corpus size (parquet metadata row count — a
+    footer read, no data scan) so expected bucket size stays ~constant and
+    the in-bucket brute-force verify never goes quadratic in N.
+    """
+    import pyarrow.parquet as pq
     import ray
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_vec = pq.ParquetFile(path).metadata.num_rows
+    n_planes = similarity.scaled_n_planes(n_vec)
+    ds = ray.data.read_parquet(path)
     # bucket assignment is batch-local, so the bucket column rides along with
     # the vector — only the groupby shuffles
     with_vec = ds.map_batches(
-        lambda b: similarity.hyperplane_bucket_batch(b, n_planes=8).append_column(
-            "embedding", b.column("embedding")
-        ),
+        lambda b: similarity.hyperplane_bucket_batch(
+            b, n_planes=n_planes
+        ).append_column("embedding", b.column("embedding")),
         batch_format="pyarrow",
     )
     return with_vec.groupby("bucket").map_groups(

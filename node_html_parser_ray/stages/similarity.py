@@ -20,6 +20,7 @@ __all__ = [
     "embedding_matrix",
     "TopKCosine",
     "hyperplane_bucket_batch",
+    "scaled_n_planes",
     "embedding_neardup_pairs",
     "spherical_kmeans",
     "IVFAssign",
@@ -156,6 +157,23 @@ def probe_cells(query: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[i
     for row in sims:
         out.update(int(i) for i in np.argsort(-row, kind="stable")[:nprobe])
     return sorted(out)
+
+
+def scaled_n_planes(
+    n_vectors: int, target_bucket: int = 64, min_planes: int = 8
+) -> int:
+    """Hyperplane count scaled to corpus size: E[bucket] ~ target_bucket.
+
+    A FIXED plane count means bucket sizes grow O(N) and the in-bucket
+    O(bucket^2) verify explodes (round-1 verdict #10); log2(N/target)
+    planes keep expected bucket size ~constant at any corpus size
+    (10^12 vectors -> 34 planes -> ~64-vector buckets).
+    """
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
 _HP_RNG = np.random.RandomState(1234)

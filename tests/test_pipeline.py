@@ -661,3 +661,38 @@ class TestShardCountInvariance:
         a = self._run(monkeypatch, "sliding_window", 4)
         b = self._run(monkeypatch, "sliding_window", 64)
         assert a.equals(b)
+
+
+class TestEmbeddingNearDupScaling:
+    def test_scaled_n_planes_bounds_buckets(self):
+        """Plane count grows with N so E[bucket] ~ target (scale contract)."""
+        import numpy as np
+
+        from node_html_parser_ray.stages.similarity import (
+            hyperplane_bucket_batch,
+            scaled_n_planes,
+        )
+
+        assert scaled_n_planes(500) == 8
+        assert scaled_n_planes(10 ** 6) == 14
+        assert scaled_n_planes(10 ** 12) == 34
+        # monotone non-decreasing
+        vals = [scaled_n_planes(n) for n in (10 ** 2, 10 ** 4, 10 ** 6, 10 ** 9)]
+        assert vals == sorted(vals)
+
+        # empirical: gaussian vectors bucket near the expected size
+        rng = np.random.RandomState(0)
+        n, d = 20000, 16
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        p = scaled_n_planes(n)
+        t = pa.Table.from_arrays(
+            [pa.array(np.arange(n), pa.int64()),
+             pa.array(list(emb), pa.list_(pa.float32()))],
+            names=["vec_id", "embedding"],
+        )
+        out = hyperplane_bucket_batch(t, n_planes=p)
+        import collections
+
+        sizes = collections.Counter(out.column("bucket").to_pylist()).values()
+        assert max(sizes) < 64 * 16  # no runaway bucket
+        assert sum(sizes) / len(sizes) < 64 * 4
