@@ -14,6 +14,7 @@ from typing import Optional
 
 import pyarrow.parquet as pq
 
+from ..sources import lance_io
 from ..stages.extract_stage import add_partition_column, make_extract_batch
 from ..state.manifest import ShardManifest
 
@@ -50,9 +51,14 @@ def build_extraction_dataset(
     return ds
 
 
-def _aggregate_shard_metrics(shard_out_dir: str) -> dict:
+def _aggregate_shard_metrics(shard_out_dir: str, backend: str = "parquet") -> dict:
     """Column-pruned metrics read-back from written output (cheap)."""
-    table = pq.read_table(shard_out_dir, columns=["valid", "metrics"])
+    if backend == "lance" and lance_io.HAS_LANCE:
+        table = lance_io.lance.dataset(shard_out_dir).to_table(
+            columns=["valid", "metrics"]
+        )
+    else:
+        table = pq.read_table(shard_out_dir, columns=["valid", "metrics"])
     metrics = table.column("metrics")
     import pyarrow.compute as pc
 
@@ -100,7 +106,7 @@ def run_checkpointed(
             skipped.append(shard_id)
             continue
         shard_out = os.path.join(out_dir, f"shard={shard_id:06d}")
-        ds = ray.data.read_parquet(files)
+        ds = lance_io.read_documents(files)
         ds = ds.map_batches(
             make_extract_batch(options),
             batch_format="pyarrow",
@@ -111,11 +117,13 @@ def run_checkpointed(
             import shutil
 
             shutil.rmtree(shard_out)
-        # no dictionary encoding: mostly-unique text pages decode 40x slower
-        # with it (measured); downstream readers of the output benefit too
-        ds.write_parquet(shard_out, use_dictionary=False)
-        metrics = _aggregate_shard_metrics(shard_out)
-        manifest.commit(shard_id, files, metrics["n_docs"], metrics)
+        backend = lance_io.write_output(ds, shard_out)
+        metrics = _aggregate_shard_metrics(shard_out, backend)
+        manifest.commit(
+            shard_id, files, metrics["n_docs"], metrics,
+            fragments=lance_io.output_fragments(shard_out, backend),
+            backend=backend,
+        )
         ran.append(shard_id)
 
     lineage = manifest.lineage()

@@ -52,13 +52,23 @@ class ShardManifest:
         input_files: list[str],
         row_count: int,
         metrics: Optional[dict] = None,
+        fragments: Optional[list[str]] = None,
+        backend: str = "parquet",
     ) -> None:
-        """Atomically record shard completion (write temp + rename)."""
+        """Atomically record shard completion (write temp + rename).
+
+        ``fragments`` is the output fragment lineage (Lance fragment ids in
+        prod, written file names on the parquet fallback) so a reader can
+        map any output fragment back to the exact input files that produced
+        it (north_rule per-partition lineage clause).
+        """
         record = {
             "shard_id": shard_id,
             "input_files": input_files,
             "row_count": row_count,
             "metrics": metrics or {},
+            "fragments": fragments or [],
+            "backend": backend,
             "committed_at": time.time(),
             "status": "complete",
         }

@@ -82,8 +82,10 @@ class TestCheckpointResume:
         assert sorted(second["skipped"]) == [0, 1, 2, 3]
         assert second["totals"]["n_docs"] == 120
 
-        # lineage records input files per shard
+        # lineage records input files + output fragments per shard
         assert all(r["input_files"] for r in second["lineage"])
+        assert all(r["fragments"] for r in second["lineage"])
+        assert all(r["backend"] in ("parquet", "lance") for r in second["lineage"])
 
     def test_partial_resume(self, ray_session, tmp_path):
         from node_html_parser_ray.pipelines.extraction import run_checkpointed
