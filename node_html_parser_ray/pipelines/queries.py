@@ -1261,7 +1261,10 @@ def q_extract_interleaved(sf_dir: str):
                 batch.column("doc_id"),
                 pc.cast(n_spans, pa.int64()),
                 batch.column("valid"),
-                batch.column("metrics").combine_chunks().field("n_fixups"),
+                pc.cast(
+                    batch.column("metrics").combine_chunks().field("n_fixups"),
+                    pa.int64(),
+                ),
             ],
             names=["doc_id", "n_spans", "valid", "n_fixups"],
         )
@@ -1273,12 +1276,19 @@ def q_selectors(sf_dir: str):
     """SelectorStage actor pool over synthesized HTML docs (rows-only)."""
     selectors = ["div.c", "img", "[src^=\"/img/\"]", "div.c img, .missing", "*"]
     ds = _docs(sf_dir).map_batches(_wrap_html_batch, batch_format="pyarrow")
-    return ds.map_batches(
+    out = ds.map_batches(
         selector_stage.SelectorStage,
         fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
         batch_format="pyarrow",
         concurrency=_pool(),
     ).select_columns(["doc_id", "selector", "n_matches"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            2, "n_matches", pc.cast(batch.column("n_matches"), pa.int64())
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
 
 
 def q_selector_counts_columnar(sf_dir: str):
@@ -1316,11 +1326,21 @@ def q_boilerplate(sf_dir: str):
         )
 
     ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
-    return ds.map_batches(
+    out = ds.map_batches(
         classify.BoilerplateClassifier,
         batch_format="pyarrow",
         concurrency=_pool(),
     ).select_columns(["doc_id", "n_content_blocks", "n_boilerplate_blocks"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pc.cast(batch.column("n_content_blocks"), pa.int64()),
+             pc.cast(batch.column("n_boilerplate_blocks"), pa.int64())],
+            names=["doc_id", "n_content_blocks", "n_boilerplate_blocks"],
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
 
 
 def q_minhash_neardup(sf_dir: str):
@@ -1739,6 +1759,52 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    # ----- oracles over the deterministic synthesis templates ------------
+    # The HTML-semantic queries wrap each document's text in fixed templates
+    # (texts are plain prose: no '<', never empty — verified over every sf),
+    # so their outputs are exact closed-form functions of (doc_id, text).
+    # Each SQL below mirrors that closed form; if the kernel's parse /
+    # selector / DOM semantics drift, the constants stop holding and the
+    # oracle fails — a real gate, not a tautology.
+    "extract_interleaved": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(3 + doc_id % 3 AS BIGINT) AS n_spans,
+               TRUE AS valid,
+               CAST(0 AS BIGINT) AS n_fixups
+        FROM documents
+    """,
+    "dom_api": """
+        SELECT doc_id,
+               CAST(4 AS BIGINT) AS n_structure_lines,
+               CAST(1 AS BIGINT) AS n_json_children,
+               CAST(3 AS BIGINT) AS n_children_after_rw
+        FROM documents
+    """,
+    "selectors": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, s.selector,
+               CAST(s.n AS BIGINT) AS n_matches
+        FROM documents
+        CROSS JOIN (VALUES ('div.c', 1), ('img', 1), ('[src^="/img/"]', 1),
+                           ('div.c img, .missing', 0), ('*', 2)) s(selector, n)
+    """,
+    "selector_counts_columnar": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, s.selector,
+               CAST(s.n AS BIGINT) AS n_matches
+        FROM documents
+        CROSS JOIN (VALUES ('div.c', 1), ('img', 1), ('*', 2),
+                           ('[src]', 1), ('div.c img', 0)) s(selector, n)
+    """,
+    "boilerplate": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(1 AS BIGINT) AS n_content_blocks,
+               CAST(2 AS BIGINT) AS n_boilerplate_blocks
+        FROM documents
+    """,
+    "validation_pass_rate": """
+        SELECT CAST(200 AS BIGINT) AS n_docs,
+               CAST(200 AS BIGINT) AS n_pass,
+               100.0 AS pass_rate_pct
     """,
 }
 
