@@ -1,0 +1,306 @@
+"""Extraction-only flat-array fast path: spans without DOM node objects.
+
+The object kernel (`parser.parse` -> `extract.extract_spans`) allocates one
+Python object per DOM node; at 32 CPUs that allocation traffic is the
+single-node memory-bandwidth limiter of the flagship pipeline (round-1
+scaling finding).  This module re-runs the SAME algorithm — the reference's
+single-pass tokenizer (src/index.ts:833-1028), implicit-close /
+raw-text / void handling, the pair/single-error repair pass
+(src/index.ts:1000-1026) and the structuredText-style span walk
+(src/index.ts:231-268) — over flat parallel arrays of ints and strings.
+No HTMLElement / TextNode is ever constructed.
+
+Bit-exactness contract: for every input, ``extract_spans_fast(html,
+media_map, options)`` returns exactly what ``extract_spans(parse(html,
+options), media_map)`` returns, plus identical ``valid`` and metrics.
+Enforced by differential tests (tests/test_fast_extract.py): the pathology
+corpus, the reference's html fixtures, and hypothesis-generated tag soup.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from .dom import (
+    K_BLOCK_ELEMENTS,
+    _ATTR_RE,
+    _MULTI_WS_RE,
+    _WHITESPACE_RE,
+)
+from .entities import decode
+from .jsregex import js_trim
+from .parser import (
+    K_BLOCK_TEXT_ELEMENTS,
+    K_ELEMENTS_CLOSED_BY_OPENING,
+    K_SELF_CLOSING,
+    KMARKUP,
+    ParseMetrics,
+)
+
+__all__ = ["extract_spans_fast"]
+
+# local node-kind codes (flat arrays only — not the DOM node_type values)
+_EL = 0
+_TX = 1
+_ASCII_WS = "\t\n\v\f\r "
+
+# media handling mirrors kernel.extract (import indirectly to avoid a cycle:
+# extract.py does not import this module)
+_MEDIA_TAG_KINDS = {"img": "image", "video": "video", "embed": "embed"}
+_MEDIA_PLACEHOLDER_ATTR = "data-nhpr-media"
+
+
+def _attributes(raw_attrs: str) -> dict[str, str]:
+    """Decoded attribute map, identical to HTMLElement.attributes.
+
+    The object path stores ``js_trim(attrs)`` at construction and parses
+    lazily with kAttributePattern; trimming cannot change the token matches,
+    so applying it here (only for the rare media elements) is equivalent.
+    """
+    out: dict[str, str] = {}
+    if raw_attrs:
+        for m in _ATTR_RE.finditer(js_trim(raw_attrs)):
+            key = m.group(1)
+            if key:
+                out[key] = decode(m.group(4) or m.group(5) or m.group(6) or "")
+    return out
+
+
+def extract_spans_fast(
+    data: str,
+    media_map: Optional[dict[int, tuple[str, str, str]]] = None,
+    options: Optional[dict] = None,
+    metrics: Optional[ParseMetrics] = None,
+) -> tuple[list[tuple[str, str, str, int]], bool]:
+    """Tokenize + repair + span walk over flat arrays; returns (spans, valid).
+
+    Mirrors parser.parse (reference src/index.ts:833-1028) statement for
+    statement — see that module's comments for the reference line map —
+    with flat arrays instead of node objects:
+
+    ``typ[nid]``  node kind (element / text; comments are counted, never
+    stored — the span walk ignores them and nothing downstream reads them)
+    ``tag[nid]``  element tag name ("" for text)
+    ``val[nid]``  text value, or the RAW attrs substring for elements
+    ``kids[nid]`` ordered child ids (elements only)
+    ``par[nid]``  parent id (elements only; -1 = detached/root)
+    """
+    opts = options or {}
+    lower_case = bool(opts.get("lowerCaseTagName"))
+    keep_comments = bool(opts.get("comment"))
+
+    typ: list[int] = [_EL]
+    tag: list[str] = [""]
+    val: list[str] = [""]
+    kids: list[Optional[list[int]]] = [[]]
+    par: list[int] = [-1]
+
+    cur = 0
+    stack: list[int] = [0]
+    last_text_pos = 0
+    pos = 0
+    data_len = len(data)
+    n_elements = 0
+    n_text = 0
+    n_comments = 0
+
+    search = KMARKUP.search
+    while pos <= data_len:
+        m = search(data, pos)
+        if m is None:
+            break
+        m_start = m.start()
+        m_end = m.end()
+        if last_text_pos < m_start:
+            nid = len(typ)
+            typ.append(_TX)
+            tag.append("")
+            val.append(data[last_text_pos:m_start])
+            kids.append(None)
+            par.append(-1)
+            kids[cur].append(nid)
+            n_text += 1
+        last_text_pos = m_end
+        pos = m_end
+
+        if data[m_start + 1] == "!":
+            if keep_comments:
+                # the walk skips comments; only the count is observable
+                n_comments += 1
+            continue
+
+        close_g, t, attrs, self_g = m.group(1, 2, 3, 4)
+        if lower_case:
+            t = t.lower() if t else ""
+        is_closing = close_g != ""
+        is_self_syntax = self_g != ""
+
+        if not is_closing:
+            if not is_self_syntax:
+                closed_by = K_ELEMENTS_CLOSED_BY_OPENING.get(tag[cur])
+                if closed_by is not None and t in closed_by:
+                    stack.pop()
+                    cur = stack[-1] if stack else 0
+            nid = len(typ)
+            typ.append(_EL)
+            tag.append(t or "")
+            val.append(attrs or "")
+            kids.append([])
+            par.append(cur)
+            kids[cur].append(nid)
+            cur = nid
+            n_elements += 1
+            stack.append(cur)
+            if t in K_BLOCK_TEXT_ELEMENTS:
+                close_markup = "</" + t + ">"
+                index = data.find(close_markup, pos)
+                if opts.get(t):
+                    text = data[pos:] if index == -1 else data[pos:index]
+                    if text:
+                        tid = len(typ)
+                        typ.append(_TX)
+                        tag.append("")
+                        val.append(text)
+                        kids.append(None)
+                        par.append(-1)
+                        kids[cur].append(tid)
+                        n_text += 1
+                if index == -1:
+                    last_text_pos = pos = data_len + 1
+                else:
+                    last_text_pos = pos = index + len(close_markup)
+                    is_closing = True
+
+        if is_closing or is_self_syntax or t in K_SELF_CLOSING:
+            if is_closing and t in K_SELF_CLOSING:
+                continue
+            while True:
+                if tag[cur] == t:
+                    stack.pop()
+                    cur = stack[-1] if stack else 0
+                    break
+                elif len(stack) > 1:
+                    stack.pop()
+                    cur = stack[-1] if stack else 0
+                else:
+                    break
+
+    if last_text_pos < data_len:
+        nid = len(typ)
+        typ.append(_TX)
+        tag.append("")
+        val.append(data[last_text_pos:])
+        kids.append(None)
+        par.append(-1)
+        kids[0].append(nid)
+        n_text += 1
+
+    # malformed repair (reference src/index.ts:1000-1026); identical moves
+    valid = len(stack) == 1
+    n_fixups = 0
+    while len(stack) > 1:
+        n_fixups += 1
+        last = stack.pop()
+        one_before = stack[-1] if stack else 0
+        p = par[last]
+        if p >= 0 and par[p] >= 0:
+            kl = kids[one_before]
+            if p == one_before and tag[last] == tag[one_before]:
+                # pair error: children to the grandparent, extra pop
+                if last in kl:
+                    kl.remove(last)
+                par[last] = -1
+                target = par[one_before]
+                if stack:
+                    stack.pop()
+            else:
+                # single error: children reattach to the parent
+                if last in kl:
+                    kl.remove(last)
+                par[last] = -1
+                target = one_before
+            moved = kids[last]
+            if moved:
+                kids[target].extend(moved)
+                for c in moved:
+                    if typ[c] == _EL:
+                        par[c] = target
+
+    if metrics is not None:
+        metrics.n_elements = n_elements
+        metrics.n_text = n_text
+        metrics.n_comments = n_comments
+        metrics.n_nodes = n_elements + n_text + n_comments
+        metrics.n_fixups = n_fixups
+        metrics.n_bytes = data_len
+        metrics.valid = valid
+
+    # ---- span walk (identical to kernel.extract.extract_spans) ----------
+    spans: list[tuple[str, str, str, int]] = []
+    block: list[str] = []
+    prepend_ws = False
+    ws_match = _WHITESPACE_RE.match
+    multi_ws_sub = _MULTI_WS_RE.sub
+
+    # POST flush markers are encoded as -1 in the int walk stack
+    walk: list[int] = [0]
+    while walk:
+        nid = walk.pop()
+        if nid == -1:
+            if block:
+                text = multi_ws_sub(" ", js_trim("".join(block)))
+                if text:
+                    spans.append(("text", text, "", len(spans)))
+                block.clear()
+                prepend_ws = False
+            continue
+        if typ[nid] == _EL:
+            tg = tag[nid]
+            media_kind = _MEDIA_TAG_KINDS.get(tg)
+            if media_kind is not None:
+                if block:
+                    text = multi_ws_sub(" ", js_trim("".join(block)))
+                    if text:
+                        spans.append(("text", text, "", len(spans)))
+                    block.clear()
+                    prepend_ws = False
+                placeholder = None
+                attrs = _attributes(val[nid])
+                if media_map:
+                    idx = attrs.get(_MEDIA_PLACEHOLDER_ATTR)
+                    if idx is not None:
+                        placeholder = media_map.get(int(idx))
+                if placeholder is not None:
+                    kind, text, media_ref = placeholder
+                else:
+                    kind = media_kind
+                    text = attrs.get("alt") or ""
+                    media_ref = attrs.get("src") or ""
+                spans.append((kind, text, media_ref, len(spans)))
+                walk.extend(reversed(kids[nid]))
+            elif tg in K_BLOCK_ELEMENTS:
+                if block:
+                    text = multi_ws_sub(" ", js_trim("".join(block)))
+                    if text:
+                        spans.append(("text", text, "", len(spans)))
+                    block.clear()
+                    prepend_ws = False
+                walk.append(-1)
+                walk.extend(reversed(kids[nid]))
+            else:
+                walk.extend(reversed(kids[nid]))
+        else:
+            v = val[nid]
+            # TextNode.is_whitespace: /^(\s|&nbsp;)*$/ with the ASCII fast path
+            if not v or not v.strip(_ASCII_WS) or ws_match(v) is not None:
+                prepend_ws = True
+            else:
+                text = decode(v)
+                if prepend_ws:
+                    text = " " + text
+                    prepend_ws = False
+                block.append(text)
+    if block:
+        text = multi_ws_sub(" ", js_trim("".join(block)))
+        if text:
+            spans.append(("text", text, "", len(spans)))
+    return spans, valid

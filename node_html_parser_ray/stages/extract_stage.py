@@ -21,8 +21,9 @@ from typing import Optional
 
 import pyarrow as pa
 
-from ..kernel.extract import assemble_document, extract_spans
-from ..kernel.parser import ParseMetrics, parse
+from ..kernel.extract import assemble_document
+from ..kernel.fast_extract import extract_spans_fast
+from ..kernel.parser import ParseMetrics
 
 __all__ = [
     "OUT_SPAN_STRUCT",
@@ -121,15 +122,16 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         html, media_map = assemble_document(
             f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
         )
-        root = parse(html, options, metrics=metrics)
-        spans = extract_spans(root, media_map)
+        # flat-array fast path: no per-node Python objects (differentially
+        # tested bit-exact vs parse+extract_spans — tests/test_fast_extract.py)
+        spans, valid = extract_spans_fast(html, media_map, options, metrics)
         for kind, text, ref, order in spans:
             kinds.append(kind)
             texts.append(text)
             refs.append(ref)
             orders.append(order)
         offsets.append(len(kinds))
-        valids.append(root.valid)
+        valids.append(valid)
         m_nodes.append(metrics.n_nodes)
         m_elements.append(metrics.n_elements)
         m_text.append(metrics.n_text)
