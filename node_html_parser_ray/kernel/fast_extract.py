@@ -10,6 +10,12 @@ raw-text / void handling, the pair/single-error repair pass
 (src/index.ts:231-268) — over flat parallel arrays of ints and strings.
 No HTMLElement / TextNode is ever constructed.
 
+Node encoding: element ids are non-negative indexes into the parallel
+element arrays (tag/val/kids/par); text nodes are encoded directly in the
+child lists as ``-(text_index + 2)`` into one flat ``texts`` list (-1 is
+the walk's POST-flush marker).  Comments are counted, never stored — the
+span walk ignores them and nothing downstream reads them.
+
 Bit-exactness contract: for every input, ``extract_spans_fast(html,
 media_map, options)`` returns exactly what ``extract_spans(parse(html,
 options), media_map)`` returns, plus identical ``valid`` and metrics.
@@ -38,13 +44,10 @@ from .parser import (
 
 __all__ = ["extract_spans_fast"]
 
-# local node-kind codes (flat arrays only — not the DOM node_type values)
-_EL = 0
-_TX = 1
 _ASCII_WS = "\t\n\v\f\r "
 
-# media handling mirrors kernel.extract (import indirectly to avoid a cycle:
-# extract.py does not import this module)
+# media handling mirrors kernel.extract (duplicated constants to avoid an
+# import cycle: extract.py must stay importable without this module)
 _MEDIA_TAG_KINDS = {"img": "image", "video": "video", "embed": "embed"}
 _MEDIA_PLACEHOLDER_ATTR = "data-nhpr-media"
 
@@ -74,26 +77,20 @@ def extract_spans_fast(
     """Tokenize + repair + span walk over flat arrays; returns (spans, valid).
 
     Mirrors parser.parse (reference src/index.ts:833-1028) statement for
-    statement — see that module's comments for the reference line map —
-    with flat arrays instead of node objects:
-
-    ``typ[nid]``  node kind (element / text; comments are counted, never
-    stored — the span walk ignores them and nothing downstream reads them)
-    ``tag[nid]``  element tag name ("" for text)
-    ``val[nid]``  text value, or the RAW attrs substring for elements
-    ``kids[nid]`` ordered child ids (elements only)
-    ``par[nid]``  parent id (elements only; -1 = detached/root)
+    statement — see that module's comments for the reference line map.
     """
     opts = options or {}
     lower_case = bool(opts.get("lowerCaseTagName"))
     keep_comments = bool(opts.get("comment"))
 
-    typ: list[int] = [_EL]
+    # element arrays (id = index); root = element 0
     tag: list[str] = [""]
-    val: list[str] = [""]
-    kids: list[Optional[list[int]]] = [[]]
+    val: list[str] = [""]          # RAW attrs substring (read for media only)
+    kids: list[list[int]] = [[]]
     par: list[int] = [-1]
+    texts: list[str] = []          # text nodes, encoded as -(idx+2) in kids
 
+    cur_kids = kids[0]
     cur = 0
     stack: list[int] = [0]
     last_text_pos = 0
@@ -108,16 +105,10 @@ def extract_spans_fast(
         m = search(data, pos)
         if m is None:
             break
-        m_start = m.start()
-        m_end = m.end()
+        m_start, m_end = m.span()
         if last_text_pos < m_start:
-            nid = len(typ)
-            typ.append(_TX)
-            tag.append("")
-            val.append(data[last_text_pos:m_start])
-            kids.append(None)
-            par.append(-1)
-            kids[cur].append(nid)
+            cur_kids.append(-2 - len(texts))
+            texts.append(data[last_text_pos:m_start])
             n_text += 1
         last_text_pos = m_end
         pos = m_end
@@ -140,14 +131,16 @@ def extract_spans_fast(
                 if closed_by is not None and t in closed_by:
                     stack.pop()
                     cur = stack[-1] if stack else 0
-            nid = len(typ)
-            typ.append(_EL)
+                    cur_kids = kids[cur]
+            nid = len(tag)
             tag.append(t or "")
             val.append(attrs or "")
-            kids.append([])
+            child_list: list[int] = []
+            kids.append(child_list)
             par.append(cur)
-            kids[cur].append(nid)
+            cur_kids.append(nid)
             cur = nid
+            cur_kids = child_list
             n_elements += 1
             stack.append(cur)
             if t in K_BLOCK_TEXT_ELEMENTS:
@@ -156,13 +149,8 @@ def extract_spans_fast(
                 if opts.get(t):
                     text = data[pos:] if index == -1 else data[pos:index]
                     if text:
-                        tid = len(typ)
-                        typ.append(_TX)
-                        tag.append("")
-                        val.append(text)
-                        kids.append(None)
-                        par.append(-1)
-                        kids[cur].append(tid)
+                        cur_kids.append(-2 - len(texts))
+                        texts.append(text)
                         n_text += 1
                 if index == -1:
                     last_text_pos = pos = data_len + 1
@@ -183,15 +171,11 @@ def extract_spans_fast(
                     cur = stack[-1] if stack else 0
                 else:
                     break
+            cur_kids = kids[cur]
 
     if last_text_pos < data_len:
-        nid = len(typ)
-        typ.append(_TX)
-        tag.append("")
-        val.append(data[last_text_pos:])
-        kids.append(None)
-        par.append(-1)
-        kids[0].append(nid)
+        kids[0].append(-2 - len(texts))
+        texts.append(data[last_text_pos:])
         n_text += 1
 
     # malformed repair (reference src/index.ts:1000-1026); identical moves
@@ -222,7 +206,7 @@ def extract_spans_fast(
             if moved:
                 kids[target].extend(moved)
                 for c in moved:
-                    if typ[c] == _EL:
+                    if c >= 0:
                         par[c] = target
 
     if metrics is not None:
@@ -241,19 +225,10 @@ def extract_spans_fast(
     ws_match = _WHITESPACE_RE.match
     multi_ws_sub = _MULTI_WS_RE.sub
 
-    # POST flush markers are encoded as -1 in the int walk stack
     walk: list[int] = [0]
     while walk:
         nid = walk.pop()
-        if nid == -1:
-            if block:
-                text = multi_ws_sub(" ", js_trim("".join(block)))
-                if text:
-                    spans.append(("text", text, "", len(spans)))
-                block.clear()
-                prepend_ws = False
-            continue
-        if typ[nid] == _EL:
+        if nid >= 0:
             tg = tag[nid]
             media_kind = _MEDIA_TAG_KINDS.get(tg)
             if media_kind is not None:
@@ -288,8 +263,15 @@ def extract_spans_fast(
                 walk.extend(reversed(kids[nid]))
             else:
                 walk.extend(reversed(kids[nid]))
+        elif nid == -1:  # POST marker: block-element exit flush
+            if block:
+                text = multi_ws_sub(" ", js_trim("".join(block)))
+                if text:
+                    spans.append(("text", text, "", len(spans)))
+                block.clear()
+                prepend_ws = False
         else:
-            v = val[nid]
+            v = texts[-2 - nid]
             # TextNode.is_whitespace: /^(\s|&nbsp;)*$/ with the ASCII fast path
             if not v or not v.strip(_ASCII_WS) or ws_match(v) is not None:
                 prepend_ws = True
