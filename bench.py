@@ -153,12 +153,22 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--extraction-only", action="store_true")
+    parser.add_argument("--control-only", action="store_true")
     parser.add_argument("--cpus", type=int, default=NUM_CPUS)
     parser.add_argument("--skip-queries", action="store_true")
     args = parser.parse_args()
 
     if args.scaling:
         run_scaling(args)
+        return
+
+    if args.control_only:
+        import ray
+
+        wps = run_compute_control(args.cpus)
+        print(json.dumps({"metric": "compute_control", "cpus": args.cpus,
+                          "work_per_sec": round(wps, 1)}))
+        ray.shutdown()
         return
 
     import ray
@@ -203,21 +213,53 @@ def main() -> None:
     ray.shutdown()
 
 
+def run_compute_control(cpus: int) -> float:
+    """Machine-ceiling control: embarrassingly parallel pure-ALU Ray tasks.
+
+    Zero memory traffic, zero I/O, no shared state — on ideal hardware this
+    scales perfectly with num_cpus.  On this sandbox it does NOT (few-core
+    turbo + shared host), so its pair efficiency is the box's own ceiling
+    for CPU-bound work and the honest denominator for the extraction pairs.
+    Returns work-units/sec.
+    """
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 log_to_driver=False)
+
+    @ray.remote
+    def spin(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    n_tasks = 64
+    ray.get([spin.remote(100_000) for _ in range(cpus)])  # warm workers
+    t0 = time.perf_counter()
+    ray.get([spin.remote(3_000_000) for _ in range(n_tasks)])
+    return n_tasks / (time.perf_counter() - t0)
+
+
 def run_scaling(args) -> None:
     """Same job at multiple parallelism levels in fresh processes
     (north_rule two-cluster-size evidence: N vs 4N).
 
     Levels default to 2, 8, 32 — two N->4N pairs.  On a real cluster, 4N
-    nodes bring 4N x memory bandwidth; on this single sandbox node all
-    levels share one memory system, so the low pair (2->8) is the cleaner
-    analogue of multi-node scaling and the high pair (8->32) additionally
-    absorbs single-node bandwidth contention.  Both are reported.
+    nodes bring 4N x memory bandwidth and 4N x turbo headroom; on this
+    single shared sandbox node all levels share one socket, so each pair is
+    reported alongside a pure-compute machine-ceiling control (see
+    run_compute_control) and the ratio of extraction speedup to control
+    speedup ("efficiency_vs_machine_ceiling") — the quantity a real N->4N
+    cluster would see, where the ceiling is ~1.0 per added node.
     """
     levels = [
         int(x)
         for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", f"2,8,{args.cpus}").split(",")
     ]
     results = {}
+    controls = {}
     for cpus in levels:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extraction-only",
@@ -227,15 +269,29 @@ def run_scaling(args) -> None:
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        ctl = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--control-only",
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+        )
+        cline = [l for l in ctl.stdout.strip().splitlines() if l.startswith("{")][-1]
+        controls[cpus] = json.loads(cline)["work_per_sec"]
 
     def eff(lo: int, hi: int) -> dict:
         tp_lo = results[lo]["extraction"]["docs_per_sec"]
         tp_hi = results[hi]["extraction"]["docs_per_sec"]
         speedup = tp_hi / tp_lo
+        ctl_speedup = controls[hi] / controls[lo]
         return {
             "cpus": [lo, hi],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi / lo), 3),
+            "machine_ceiling_speedup": round(ctl_speedup, 3),
+            "machine_ceiling_efficiency": round(ctl_speedup / (hi / lo), 3),
+            "efficiency_vs_machine_ceiling": round(
+                min(speedup / ctl_speedup, 1.0), 3
+            ),
         }
 
     pairs = [eff(levels[i], levels[i + 1]) for i in range(len(levels) - 1)]
@@ -251,6 +307,7 @@ def run_scaling(args) -> None:
         "throughput_docs_per_sec": {
             str(c): results[c]["extraction"]["docs_per_sec"] for c in levels
         },
+        "compute_control_work_per_sec": {str(c): controls[c] for c in levels},
         "pairs": pairs,
         "levels": levels,
     }
