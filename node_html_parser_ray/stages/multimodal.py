@@ -182,10 +182,12 @@ class MediaDecodeStage:
     def __init__(self, real_decode: bool = False, feature_dim: int = 16) -> None:
         self.feature_dim = feature_dim
         self.decoder = None
+        self._pil = None
         if real_decode:
             try:
-                import PIL.Image  # noqa: F401
+                import PIL.Image
 
+                self._pil = PIL.Image  # module cached once per actor
                 self.decoder = "pil"
             except ImportError as e:  # pragma: no cover
                 raise NotImplementedError(
@@ -201,6 +203,23 @@ class MediaDecodeStage:
         features = rng.standard_normal(self.feature_dim).astype(np.float32)
         return width, height, features
 
+    def _decode_pil(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Real decode: dims + a pooled-grayscale feature vector.
+
+        Runs wherever the PIL wheel exists (not this container — covered by
+        an import-guarded test that skips when PIL is absent).
+        """
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        width, height = img.size
+        gray = np.asarray(img.convert("L"), dtype=np.float32) / 255.0
+        # average-pool the image into feature_dim horizontal strips
+        strips = np.array_split(gray, self.feature_dim, axis=0)
+        features = np.array([s.mean() if s.size else 0.0 for s in strips],
+                            dtype=np.float32)
+        return width, height, features
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         kinds = (
@@ -209,15 +228,14 @@ class MediaDecodeStage:
             else ["image"] * len(refs)
         )
         payloads = batch.column("payload").to_pylist()
+        decode_one = self._decode_pil if self.decoder == "pil" else self._decode_fake
         widths: list[int] = []
         heights: list[int] = []
         n_bytes: list[int] = []
         feats = np.empty((len(refs), self.feature_dim), dtype=np.float32)
         for i, payload in enumerate(payloads):
             payload = payload or b""
-            if self.decoder == "pil":  # pragma: no cover - not in container
-                raise NotImplementedError("real decode path not available here")
-            w, h, f = self._decode_fake(payload)
+            w, h, f = decode_one(payload)
             widths.append(w)
             heights.append(h)
             n_bytes.append(len(payload))

@@ -698,3 +698,38 @@ class TestEmbeddingNearDupScaling:
         sizes = collections.Counter(out.column("bucket").to_pylist()).values()
         assert max(sizes) < 64 * 16  # no runaway bucket
         assert sum(sizes) / len(sizes) < 64 * 4
+
+
+class TestRealDecodePath:
+    def test_pil_decode_when_available(self):
+        """Real PIL decode path — runs only where the wheel exists."""
+        pytest.importorskip("PIL.Image")
+        import io
+
+        import PIL.Image
+
+        from node_html_parser_ray.stages.multimodal import MediaDecodeStage
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (20, 10), (128, 64, 32)).save(buf, format="PNG")
+        table = pa.Table.from_arrays(
+            [pa.array(["media://x"], pa.string()),
+             pa.array(["image"], pa.string()),
+             pa.array([buf.getvalue()], pa.binary())],
+            names=["media_ref", "kind", "payload"],
+        )
+        out = MediaDecodeStage(real_decode=True)(table)
+        row = out.to_pylist()[0]
+        assert (row["width"], row["height"]) == (20, 10)
+        assert len(row["features"]) == 16
+
+    def test_real_decode_raises_cleanly_without_pil(self):
+        try:
+            import PIL.Image  # noqa: F401
+            pytest.skip("PIL present — guard not exercised")
+        except ImportError:
+            pass
+        from node_html_parser_ray.stages.multimodal import MediaDecodeStage
+
+        with pytest.raises(NotImplementedError):
+            MediaDecodeStage(real_decode=True)
