@@ -1475,13 +1475,11 @@ def q_frame_pipeline(sf_dir: str):
         FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
         batch_format="pyarrow", batch_size=32, concurrency=_pool(),
     )
+    # resize reads the frame column directly — no rename-only operator
     resized = frames.map_batches(
-        lambda b: b.rename_columns(
-            ["media_ref", "frame_idx", "ts_ms", "payload"]
-        ),
-        batch_format="pyarrow",
-    ).map_batches(
-        ImageResizeStage, fn_constructor_kwargs={"width": 64, "height": 64},
+        ImageResizeStage,
+        fn_constructor_kwargs={"width": 64, "height": 64,
+                               "payload_column": "frame"},
         batch_format="pyarrow", batch_size=64, concurrency=_pool(),
     )
 

@@ -91,9 +91,11 @@ class ImageResizeStage:
     """
 
     def __init__(self, width: int = 224, height: int = 224,
-                 real_decode: bool = False) -> None:
+                 real_decode: bool = False,
+                 payload_column: str = "payload") -> None:
         self.width = width
         self.height = height
+        self.payload_column = payload_column
         if real_decode:
             raise NotImplementedError(
                 "real resize requires PIL, not present in this container"
@@ -106,7 +108,7 @@ class ImageResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        payloads = batch.column("payload").to_pylist()
+        payloads = batch.column(self.payload_column).to_pylist()
         out = [self._resize_fake(p or b"") for p in payloads]
         n = len(refs)
         return pa.Table.from_arrays(
