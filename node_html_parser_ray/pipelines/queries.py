@@ -73,6 +73,31 @@ def _coarse_shards(multiple: int = 4) -> int:
     return n
 
 
+def _join_partitions(*paths: str, floor: int = 8) -> int:
+    """Hash-join partition count scaled to the DATA, capped by the cluster.
+
+    ``Dataset.join`` spawns an actor per partition, so partitions must track
+    input bytes (one partition per ~256 MB), not raw CPU count — at 32 CPUs
+    a blanket cpu-scaled 64 spawned 130+ worker processes for a 50 MB join
+    and evicted the warm worker pool (measured 3x suite-wide slowdown).
+    At 100 TB the byte term dominates and the cpu cap (4x) bounds actor
+    count to what the cluster can actually run.
+    """
+    import ray
+
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            pass
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(floor, min(4 * cpus, total // (256 << 20)))
+
+
 def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
     """Drop zero-row/zero-column blocks before ``pa.concat_tables``.
 
@@ -751,7 +776,11 @@ def q_segment_order_revenue(sf_dir: str):
 
     rev = rev.map_batches(rn, batch_format="pyarrow")
     joined = rev.join(
-        orders_f, join_type="inner", num_partitions=_coarse_shards(2),
+        orders_f, join_type="inner",
+        num_partitions=_join_partitions(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            os.path.join(sf_dir, "orders.parquet"),
+        ),
         on=("o_orderkey",),
     )
 
