@@ -319,10 +319,9 @@ def q_ann_topk(sf_dir: str):
     q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
     q_ref = ray.put(q)
     candidates = ds.map_batches(
-        similarity.TopKCosine,
-        fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
+        similarity.topk_cosine_batch,
+        fn_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
-        concurrency=_pool(),
     )
     # global top-k over the small per-block candidate set
     table = candidates.to_arrow_refs()
@@ -375,10 +374,9 @@ def q_ann_topk_ivf(sf_dir: str):
     q_ref = ray.put(q)
     ds = ray.data.read_parquet(path)
     assigned = ds.map_batches(
-        similarity.IVFAssign,
-        fn_constructor_kwargs={"centroids_ref": c_ref},
+        similarity.ivf_assign_batch,
+        fn_kwargs={"centroids_ref": c_ref},
         batch_format="pyarrow",
-        concurrency=_pool(),
     )
     probe_set = pa.array(cells, pa.int32())
 
@@ -386,10 +384,9 @@ def q_ann_topk_ivf(sf_dir: str):
         return batch.filter(pc.is_in(batch.column("ivf_cell"), value_set=probe_set))
 
     candidates = assigned.map_batches(cell_filter, batch_format="pyarrow").map_batches(
-        similarity.TopKCosine,
-        fn_constructor_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
+        similarity.topk_cosine_batch,
+        fn_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
-        concurrency=_pool(),
     )
     merged = pa.concat_tables(
         _nonempty([ray.get(r) for r in candidates.to_arrow_refs()])

@@ -97,6 +97,24 @@ class TopKCosine:
         )
 
 
+def topk_cosine_batch(batch: pa.Table, **kwargs) -> pa.Table:
+    """Task-form of :class:`TopKCosine` for stateless pipelines.
+
+    The broadcast query matrix is an ObjectRef resolved INSIDE the task —
+    a zero-copy local plasma read once the object is on the node, so plain
+    Ray tasks on the warm worker pool beat spinning up a dedicated actor
+    pool (actor startup is the whole cost at small scale, and at large
+    scale tasks schedule anywhere without pool sizing).  Use the actor
+    class when per-actor setup is genuinely expensive (model load).
+    """
+    return TopKCosine(**kwargs)(batch)
+
+
+def ivf_assign_batch(batch: pa.Table, centroids_ref, column: str = "embedding") -> pa.Table:
+    """Task-form of :class:`IVFAssign` (see topk_cosine_batch rationale)."""
+    return IVFAssign(centroids_ref, column)(batch)
+
+
 def _normalize(x: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
