@@ -435,21 +435,21 @@ def q_orders_by_nation(sf_dir: str):
     }
     lookup_ref = ray.put(cust_to_nation)
 
-    class JoinAndPartial:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
+    def join_and_partial(batch: pa.Table, ref) -> pa.Table:
+        # broadcast join as a plain task: ray.get of an in-plasma object is
+        # a zero-copy local read, so no actor pool (and its spawn cost) is
+        # needed to hold the lookup
+        import pandas as pd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            custkeys = batch.column("o_custkey").to_pylist()
-            prices = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-            nations = [self.lookup.get(c, "") for c in custkeys]
-            df = pd.DataFrame({"n_name": nations, "price": prices})
-            g = df.groupby("n_name", as_index=False).agg(
-                part_n=("price", "size"), part_sum=("price", "sum")
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+        lookup = ray.get(ref)
+        custkeys = batch.column("o_custkey").to_pylist()
+        prices = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        nations = [lookup.get(c, "") for c in custkeys]
+        df = pd.DataFrame({"n_name": nations, "price": prices})
+        g = df.groupby("n_name", as_index=False).agg(
+            part_n=("price", "size"), part_sum=("price", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -457,10 +457,9 @@ def q_orders_by_nation(sf_dir: str):
     )
     g = (
         ds.map_batches(
-            JoinAndPartial,
-            fn_constructor_kwargs={"ref": lookup_ref},
+            join_and_partial,
+            fn_kwargs={"ref": lookup_ref},
             batch_format="pyarrow",
-            concurrency=_pool(),
         )
         .groupby("n_name")
         .aggregate(Sum("part_n"), Sum("part_sum"))
@@ -1157,36 +1156,33 @@ def q_validation_pass_rate(sf_dir: str):
         golden[row["doc_id"]] = (tuple(spans), valid)
     golden_ref = ray.put(golden)
 
-    class Validate:
-        def __init__(self, ref):
-            self.golden = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = extract_stage.extract_batch(batch)
-            n_pass = 0
-            n_fail = 0
-            for row in out.to_pylist():
-                spans = tuple(
-                    (s["kind"], s["text"], s["media_ref"], s["order"])
-                    for s in row["spans"]
-                )
-                expected = self.golden.get(row["doc_id"])
-                if expected is not None and expected == (spans, row["valid"]):
-                    n_pass += 1
-                else:
-                    n_fail += 1
-            return pa.Table.from_arrays(
-                [pa.array([n_pass], pa.int64()), pa.array([n_fail], pa.int64())],
-                names=["n_pass", "n_fail"],
+    def validate(batch: pa.Table, ref) -> pa.Table:
+        # golden map resolved per task: zero-copy local plasma read
+        golden_map = ray.get(ref)
+        out = extract_stage.extract_batch(batch)
+        n_pass = 0
+        n_fail = 0
+        for row in out.to_pylist():
+            spans = tuple(
+                (s["kind"], s["text"], s["media_ref"], s["order"])
+                for s in row["spans"]
             )
+            expected = golden_map.get(row["doc_id"])
+            if expected is not None and expected == (spans, row["valid"]):
+                n_pass += 1
+            else:
+                n_fail += 1
+        return pa.Table.from_arrays(
+            [pa.array([n_pass], pa.int64()), pa.array([n_fail], pa.int64())],
+            names=["n_pass", "n_fail"],
+        )
 
     ds = ray.data.from_arrow(sample)
     parts = ds.map_batches(
-        Validate,
-        fn_constructor_kwargs={"ref": golden_ref},
+        validate,
+        fn_kwargs={"ref": golden_ref},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=_pool(),
     )
     import ray as _ray
 
