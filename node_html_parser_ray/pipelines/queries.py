@@ -1533,7 +1533,108 @@ def q_frame_pipeline(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_corpus_clean(sf_dir: str):
+    """Flagship LLM-training-data prep chain, end-to-end with an oracle:
+    token-count quality gate -> exact dedup (128-bit hash groupby, keep
+    min doc_id) -> per-language survivor counts.
+
+    Scale shape: the quality gate is a vectorized batch filter (no
+    shuffle); dedup shuffles 16-byte hashes + (doc_id, lang) only — never
+    text; the final rollup pre-aggregates per block before a <=5-group
+    groupby.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    min_tokens = 50
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def gate_and_hash(batch: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(batch.column("text"), r"\S+")
+        kept = batch.filter(
+            pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int32()))
+        )
+        hashed = dedup.add_text_hash(kept)
+        return hashed.select(["doc_id", "lang", "text_hash", "text_hash_lo"])
+
+    def keep_first(group):
+        import pandas as pd
+
+        idx = group["doc_id"].idxmin()
+        return group.loc[[idx], ["doc_id", "lang"]]
+
+    survivors = (
+        ds.map_batches(gate_and_hash, batch_format="pyarrow")
+        .groupby(["text_hash", "text_hash_lo"])
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by("lang")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["lang", "part_n"])
+        )
+
+    g = survivors.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(Sum("part_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["lang", "n_docs"])
+        return pa.Table.from_arrays(
+            [batch.column("lang"), pc.cast(batch.column("n_docs"), pa.int64())],
+            names=["lang", "n_docs"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+def q_resume_lineage(sf_dir: str):
+    """Checkpointed extraction + resume through the driver gate (rows-only).
+
+    Writes a deterministic corpus to /tmp, runs the checkpointed pipeline
+    TWICE, and reports per-shard lineage — the second run must skip every
+    shard (north_rule resumability clause, exercised end-to-end).
+    """
+    import shutil
+    import tempfile
+
+    from ..pipelines.extraction import run_checkpointed
+    from ..sources.corpus import write_corpus
+
+    base = tempfile.mkdtemp(prefix="nhpr_resume_", dir="/tmp")
+    try:
+        src = os.path.join(base, "in")
+        files = write_corpus(src, n_docs=80, seed=21, rows_per_file=20)
+        out = os.path.join(base, "out")
+        first = run_checkpointed(files, out, shard_count=4)
+        second = run_checkpointed(files, out, shard_count=4)
+        rows = []
+        for rec in second["lineage"]:
+            rows.append(
+                {
+                    "shard_id": rec["shard_id"],
+                    "n_docs": rec["row_count"],
+                    "n_input_files": len(rec["input_files"]),
+                    "n_fragments": len(rec["fragments"]),
+                    "backend": rec["backend"],
+                    "ran_first": rec["shard_id"] in first["ran"],
+                    "skipped_second": rec["shard_id"] in second["skipped"],
+                }
+            )
+        return pa.Table.from_pylist(rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 QUERIES = {
+    "corpus_clean": q_corpus_clean,
+    "resume_lineage": q_resume_lineage,
     "orders_by_nation": q_orders_by_nation,
     "sessions": q_sessions,
     "top_spenders": q_top_spenders,
@@ -1779,6 +1880,18 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    "corpus_clean": r"""
+        WITH q AS (
+          SELECT doc_id, lang, text,
+                 CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        k AS (
+          SELECT MIN(doc_id) AS keeper
+          FROM q WHERE n_tokens >= 50 GROUP BY text)
+        SELECT q.lang, COUNT(*) AS n_docs
+        FROM q JOIN k ON q.doc_id = k.keeper
+        GROUP BY q.lang
     """,
     # ----- oracles over the deterministic synthesis templates ------------
     # The HTML-semantic queries wrap each document's text in fixed templates
