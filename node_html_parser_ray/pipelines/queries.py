@@ -1594,6 +1594,33 @@ def q_corpus_clean(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Seeded global shuffle (training-epoch randomization) + mod sample.
+
+    ``random_shuffle(seed=...)`` is the deterministic all-to-all every
+    training-data pipeline needs once per epoch; the driver compare is
+    order-insensitive, so the oracle checks the shuffled multiset is
+    exactly the input (no row lost/duplicated by the exchange).
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    shuffled = ds.random_shuffle(seed=42)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        q = pc.divide(batch.column("doc_id"), pa.scalar(10, pa.int64()))
+        keep = pc.equal(
+            pc.subtract(batch.column("doc_id"),
+                        pc.multiply(q, pa.scalar(10, pa.int64()))),
+            pa.scalar(0, pa.int64()),
+        )
+        return batch.filter(keep)
+
+    return shuffled.map_batches(fil, batch_format="pyarrow")
+
+
 def q_resume_lineage(sf_dir: str):
     """Checkpointed extraction + resume through the driver gate (rows-only).
 
@@ -1635,6 +1662,7 @@ def q_resume_lineage(sf_dir: str):
 QUERIES = {
     "corpus_clean": q_corpus_clean,
     "resume_lineage": q_resume_lineage,
+    "epoch_shuffle": q_epoch_shuffle,
     "orders_by_nation": q_orders_by_nation,
     "sessions": q_sessions,
     "top_spenders": q_top_spenders,
@@ -1880,6 +1908,9 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    "epoch_shuffle": """
+        SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0
     """,
     "corpus_clean": r"""
         WITH q AS (
