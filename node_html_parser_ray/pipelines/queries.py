@@ -156,15 +156,22 @@ def _interleaved_batch(batch: pa.Table) -> pa.Table:
 
 
 def q_structured_text(sf_dir: str):
-    """structuredText of each document's payload (plain text -> one block)."""
+    """structuredText of each document's payload (plain text -> one block).
+
+    Uses the flat-array fast path: for media-free documents
+    ``'\\n'.join(text spans)`` equals ``structured_text`` exactly (verified
+    by the ported html.spec tests + the fast-path differential suite).
+    """
     import ray
 
-    from ..kernel.parser import parse
+    from ..kernel.fast_extract import extract_spans_fast
 
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id")
         texts = batch.column("text").to_pylist()
-        out = [parse(t).structured_text for t in texts]
+        out = [
+            "\n".join(s[1] for s in extract_spans_fast(t)[0]) for t in texts
+        ]
         return pa.Table.from_arrays(
             [doc_ids, pa.array(out, pa.string())], names=["doc_id", "s_text"]
         )
