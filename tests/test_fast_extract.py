@@ -26,6 +26,20 @@ markup_text = st.text(
     max_size=160,
 )
 
+# tag soup that can actually spell the raw-text / media / block tag names,
+# so fast-forward, media emission and repair interact in the fuzz corpus
+tag_fragments = st.lists(
+    st.sampled_from(
+        ["<script>", "</script>", "<style>", "</style>", "<pre>", "</pre>",
+         "<noscript>", "<img src='/x'>", "<video>", "</video>", "<embed>",
+         "<div>", "</div>", "<p>", "</p>", "<li>", "<ul>", "</ul>",
+         "<td>", "<tr>", "<table>", "</table>", "<h3>", "</h3>",
+         "text ", "&amp;", "&nbsp;", "  ", "<!--", "-->", "<", ">", "'",
+         '"', "a=b", " class='c' "]
+    ),
+    max_size=24,
+).map("".join)
+
 
 def both(html, media_map=None, options=None):
     m_obj = ParseMetrics()
@@ -125,6 +139,13 @@ class TestFastExtractDifferential:
     @given(markup_text)
     def test_fuzz_parity_rawtext_options(self, s):
         assert_equal(s, options={"script": True, "style": True, "pre": True})
+
+    @settings(max_examples=300, deadline=None)
+    @given(tag_fragments)
+    def test_fuzz_parity_tag_soup(self, s):
+        assert_equal(s)
+        assert_equal(s, options={"script": True, "style": True, "pre": True,
+                                 "noscript": True})
 
     def test_media_map_paths(self):
         html, media_map = assemble_document(
