@@ -1562,23 +1562,32 @@ def q_corpus_clean(sf_dir: str):
         columns=["doc_id", "text", "lang"],
     )
 
+    n_shards = _coarse_shards()
+
     def gate_and_hash(batch: pa.Table) -> pa.Table:
         n_tok = pc.count_substring_regex(batch.column("text"), r"\S+")
         kept = batch.filter(
             pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int32()))
         )
         hashed = dedup.add_text_hash(kept)
-        return hashed.select(["doc_id", "lang", "text_hash", "text_hash_lo"])
+        shard = pc.cast(
+            pc.bit_wise_and(hashed.column("text_hash"),
+                            pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return hashed.select(
+            ["doc_id", "lang", "text_hash", "text_hash_lo"]
+        ).append_column("hash_shard", shard)
 
     def keep_first(group):
-        import pandas as pd
-
-        idx = group["doc_id"].idxmin()
-        return group.loc[[idx], ["doc_id", "lang"]]
+        # coarse-shard group (fixed group count — never one Python group
+        # per hash at 10^12 docs); vectorized min-doc_id per hash inside
+        idx = group.groupby(["text_hash", "text_hash_lo"])["doc_id"].idxmin()
+        return group.loc[idx, ["doc_id", "lang"]]
 
     survivors = (
         ds.map_batches(gate_and_hash, batch_format="pyarrow")
-        .groupby(["text_hash", "text_hash_lo"])
+        .groupby("hash_shard")
         .map_groups(keep_first, batch_format="pandas")
     )
 
