@@ -1418,9 +1418,11 @@ def q_simhash_neardup(sf_dir: str):
         codes = batch.column("simhash").combine_chunks()
         return bands.append_column("simhash", pa.concat_arrays([codes] * 4))
 
+    # coarse band_shard groups (fixed group count; exact buckets stay whole
+    # within a shard) — the verifier resolves per-bucket boundaries inside
     pairs = (
         sim.map_batches(band_with_code, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("band_shard")
         .map_groups(dedup.simhash_window_pairs, batch_format="pandas")
     )
 

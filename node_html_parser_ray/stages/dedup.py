@@ -304,20 +304,28 @@ def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     )
 
 
-def simhash_band_rows(batch: pa.Table) -> pa.Table:
-    """flat_map: 4 x 16-bit chunks as near-dup bucket keys (Hamming<=3)."""
+def simhash_band_rows(batch: pa.Table, n_shards: int = 1024) -> pa.Table:
+    """flat_map: 4 x 16-bit chunks as near-dup bucket keys (Hamming<=3).
+
+    ``band_shard`` is a coarse shuffle key (fixed group count) that keeps
+    every exact band bucket whole — the verifier groups by it and resolves
+    exact buckets inside, avoiding one Python map_groups call per tiny
+    bucket.
+    """
     codes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
     keys = np.concatenate(
         [
             (np.uint64(b << 16) | ((codes >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
             for b in range(4)
         ]
-    ).astype(np.int64)
+    )
+    shards = (keys % np.uint64(n_shards)).astype(np.int32)
     ids = batch.column("doc_id").combine_chunks()
     doc_col = pa.concat_arrays([ids] * 4)
     return pa.Table.from_arrays(
-        [doc_col, pa.array(keys, pa.int64())],
-        names=["doc_id", "band_key"],
+        [doc_col, pa.array(keys.astype(np.int64), pa.int64()),
+         pa.array(shards, pa.int32())],
+        names=["doc_id", "band_key", "band_shard"],
     )
 
 
@@ -346,21 +354,38 @@ def simhash_window_pairs(
     with ``window`` the recall/cost knob (codes further apart in sorted
     order than ``window`` share the band but differ high in the remaining
     bits).  Exhaustive whenever the bucket is smaller than ``window``.
+
+    When the group carries a ``band_key`` column (coarse ``band_shard``
+    groups holding many exact buckets — fixed group count), rows sort by
+    (band_key, code) and window comparisons never cross bucket
+    boundaries: one vectorized pass resolves every bucket in the shard.
     """
-    rows = group.drop_duplicates("doc_id")
+    by_bucket = "band_key" in group.columns
+    rows = (
+        group.drop_duplicates(["band_key", "doc_id"])
+        if by_bucket else group.drop_duplicates("doc_id")
+    )
     ids = rows["doc_id"].to_numpy()
     if len(ids) < 2:
         return pd.DataFrame({"doc_a": pd.Series(dtype=ids.dtype),
                              "doc_b": pd.Series(dtype=ids.dtype),
                              "hamming": pd.Series(dtype="int64")})
     codes = rows["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
-    order = np.argsort(codes, kind="stable")
+    if by_bucket:
+        keys = rows["band_key"].to_numpy().astype(np.int64)
+        order = np.lexsort((codes, keys))
+        keys = keys[order]
+    else:
+        keys = None
+        order = np.argsort(codes, kind="stable")
     codes, ids = codes[order], ids[order]
     w = min(window, len(ids) - 1)
     out_a, out_b, out_h = [], [], []
     for d in range(1, w + 1):
         ham = popcount64(codes[:-d] ^ codes[d:])
         mask = ham <= max_hamming
+        if keys is not None:
+            mask &= keys[:-d] == keys[d:]
         if mask.any():
             ia, ib = ids[:-d][mask], ids[d:][mask]
             out_a.append(np.minimum(ia, ib))
