@@ -1455,17 +1455,25 @@ def q_embedding_neardup(sf_dir: str):
     path = os.path.join(sf_dir, "embeddings.parquet")
     n_vec = pq.ParquetFile(path).metadata.num_rows
     n_planes = similarity.scaled_n_planes(n_vec)
+    n_shards = _coarse_shards()
     ds = ray.data.read_parquet(path)
     # bucket assignment is batch-local, so the bucket column rides along with
-    # the vector — only the groupby shuffles
-    with_vec = ds.map_batches(
-        lambda b: similarity.hyperplane_bucket_batch(
-            b, n_planes=n_planes
-        ).append_column("embedding", b.column("embedding")),
-        batch_format="pyarrow",
-    )
-    return with_vec.groupby("bucket").map_groups(
-        lambda g: similarity.embedding_neardup_pairs(g, threshold=0.9),
+    # the vector — only the (coarse bucket_shard) groupby shuffles; buckets
+    # stay whole within a shard, so the verifier resolves them one by one
+    # without a Ray callable per bucket (bucket count ~ N/64 at scale)
+    def bucketize(b: pa.Table) -> pa.Table:
+        t = similarity.hyperplane_bucket_batch(b, n_planes=n_planes)
+        shard = pc.cast(
+            pc.bit_wise_and(t.column("bucket"), pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return t.append_column("embedding", b.column("embedding")).append_column(
+            "bucket_shard", shard
+        )
+
+    with_vec = ds.map_batches(bucketize, batch_format="pyarrow")
+    return with_vec.groupby("bucket_shard").map_groups(
+        lambda g: similarity.shard_embedding_neardup_pairs(g, threshold=0.9),
         batch_format="pandas",
     )
 

@@ -223,6 +223,31 @@ def hyperplane_bucket_batch(
     )
 
 
+def shard_embedding_neardup_pairs(
+    group, threshold: float = 0.95, always_top1: bool = True
+):
+    """Coarse-shard verifier: resolve every LSH bucket inside one group.
+
+    The shuffle groups by ``bucket_shard`` (bucket mod n_shards — FIXED
+    group count at any corpus size); buckets stay whole within a shard and
+    are brute-forced one by one here, avoiding one Ray map_groups callable
+    per bucket (bucket count is 2^n_planes ~ N/64 at scale).
+    """
+    import pandas as pd
+
+    frames = [
+        embedding_neardup_pairs(sub, threshold, always_top1)
+        for _, sub in group.groupby("bucket", sort=True)
+    ]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=float), "is_neardup": pd.Series(dtype=bool)}
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def embedding_neardup_pairs(group, threshold: float = 0.95, always_top1: bool = True):
     """map_groups: brute-force cosine within an LSH bucket; emit near-dups.
 
