@@ -100,7 +100,17 @@ def extract_spans_fast(
     n_text = 0
     n_comments = 0
 
+    # local aliases: the token loop is pure interpreter time, and attribute
+    # lookups per token are a measurable share of it
     search = KMARKUP.search
+    tag_append = tag.append
+    val_append = val.append
+    kids_append = kids.append
+    par_append = par.append
+    texts_append = texts.append
+    stack_append = stack.append
+    stack_pop = stack.pop
+    closed_get = K_ELEMENTS_CLOSED_BY_OPENING.get
     while pos <= data_len:
         m = search(data, pos)
         if m is None:
@@ -108,41 +118,40 @@ def extract_spans_fast(
         m_start, m_end = m.span()
         if last_text_pos < m_start:
             cur_kids.append(-2 - len(texts))
-            texts.append(data[last_text_pos:m_start])
+            texts_append(data[last_text_pos:m_start])
             n_text += 1
         last_text_pos = m_end
         pos = m_end
 
-        if data[m_start + 1] == "!":
+        close_g, t, attrs, self_g = m.group(1, 2, 3, 4)
+        if t is None:  # comment match (no tag group)
             if keep_comments:
                 # the walk skips comments; only the count is observable
                 n_comments += 1
             continue
-
-        close_g, t, attrs, self_g = m.group(1, 2, 3, 4)
         if lower_case:
-            t = t.lower() if t else ""
+            t = t.lower()
         is_closing = close_g != ""
         is_self_syntax = self_g != ""
 
         if not is_closing:
             if not is_self_syntax:
-                closed_by = K_ELEMENTS_CLOSED_BY_OPENING.get(tag[cur])
+                closed_by = closed_get(tag[cur])
                 if closed_by is not None and t in closed_by:
-                    stack.pop()
+                    stack_pop()
                     cur = stack[-1] if stack else 0
                     cur_kids = kids[cur]
             nid = len(tag)
-            tag.append(t or "")
-            val.append(attrs or "")
+            tag_append(t)
+            val_append(attrs or "")
             child_list: list[int] = []
-            kids.append(child_list)
-            par.append(cur)
+            kids_append(child_list)
+            par_append(cur)
             cur_kids.append(nid)
             cur = nid
             cur_kids = child_list
             n_elements += 1
-            stack.append(cur)
+            stack_append(cur)
             if t in K_BLOCK_TEXT_ELEMENTS:
                 close_markup = "</" + t + ">"
                 index = data.find(close_markup, pos)
@@ -150,7 +159,7 @@ def extract_spans_fast(
                     text = data[pos:] if index == -1 else data[pos:index]
                     if text:
                         cur_kids.append(-2 - len(texts))
-                        texts.append(text)
+                        texts_append(text)
                         n_text += 1
                 if index == -1:
                     last_text_pos = pos = data_len + 1
@@ -163,11 +172,11 @@ def extract_spans_fast(
                 continue
             while True:
                 if tag[cur] == t:
-                    stack.pop()
+                    stack_pop()
                     cur = stack[-1] if stack else 0
                     break
                 elif len(stack) > 1:
-                    stack.pop()
+                    stack_pop()
                     cur = stack[-1] if stack else 0
                 else:
                     break
