@@ -1622,6 +1622,131 @@ def q_corpus_clean(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary top-50 (the wordcount of LLM data prep).
+
+    Scale shape: per-batch ``value_counts`` collapses each block to its
+    distinct words BEFORE the groupby (the shuffle moves (word, count)
+    rows, not tokens); per-block top-k partials bound the driver merge to
+    O(blocks x 50) rows.  Ties broken by word so both engines agree.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["word", "part_n"],
+        )
+
+    g = ds.map_batches(partial, batch_format="pyarrow").groupby("word").aggregate(
+        Sum("part_n")
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["word", "n"])
+        idx = pc.select_k_unstable(
+            batch, k=50, sort_keys=[("n", "descending"), ("word", "ascending")]
+        )
+        return batch.take(idx)
+
+    top = g.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top["n"] = top["n"].astype("int64")
+    top = top.sort_values(["n", "word"], ascending=[False, True]).head(50)
+    top = top.reset_index(drop=True)
+    top["rank"] = (top.index + 1).astype("int64")
+    return pa.Table.from_pandas(top[["rank", "word", "n"]], preserve_index=False)
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-language length quantiles via compact histograms.
+
+    The scale-correct exact-quantile pattern for integer-valued columns:
+    pre-aggregate (lang, n_chars) counts per block, ONE small groupby, and
+    compute discrete quantiles from the cumulative histogram — no global
+    sort, no approximation.  Matches DuckDB ``quantile_disc`` (smallest
+    value whose cumulative count reaches ``ceil(q * n)``).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+            .rename_columns(["lang", "n_chars", "part_n"])
+        )
+
+    g = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["lang", "n_chars"]
+    ).aggregate(Sum("part_n"))
+
+    hist = g.to_pandas()
+    hist.columns = ["lang", "n_chars", "n"]
+    import math
+
+    import pandas as pd
+
+    rows = []
+    for lang, sub in hist.groupby("lang", sort=True):
+        sub = sub.sort_values("n_chars")
+        counts = sub["n"].to_numpy()
+        values = sub["n_chars"].to_numpy()
+        cum = counts.cumsum()
+        total = int(cum[-1])
+        qs = {}
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            target = math.ceil(q * total)
+            qs[name] = int(values[np.searchsorted(cum, target)])
+        rows.append({"lang": lang, "n_docs": total, **qs})
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means (iterative algorithm pattern;
+    rows-only — not SQL-expressible).
+
+    5 Lloyd iterations over the embeddings Dataset: centroids broadcast
+    per iteration, per-batch partial (sum, count) rows, driver-side
+    update over <= k x blocks compact rows.  Deterministic init from the
+    first parquet row-group.  Output: one row per cluster with its size
+    (stable under any block split — full-pass exact Lloyd's).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+    mat = np.asarray(sample.column("embedding").to_pylist()[:512], dtype=np.float32)
+    k = 8
+    init = mat[np.linspace(0, len(mat) - 1, k).astype(np.int64)]
+
+    ds = ray.data.read_parquet(path)
+    centroids, counts = similarity.kmeans_fit(ds, k=k, iters=5, init=init)
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.arange(k, dtype=np.int32), pa.int32()),
+            pa.array(counts, pa.int64()),
+        ],
+        names=["cluster", "n_members"],
+    )
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Seeded global shuffle (training-epoch randomization) + mod sample.
 
@@ -1691,6 +1816,9 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "resume_lineage": q_resume_lineage,
     "epoch_shuffle": q_epoch_shuffle,
+    "vocab_topk": q_vocab_topk,
+    "length_quantiles": q_length_quantiles,
+    "kmeans_clusters": q_kmeans_clusters,
     "orders_by_nation": q_orders_by_nation,
     "sessions": q_sessions,
     "top_spenders": q_top_spenders,
@@ -1936,6 +2064,21 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    "vocab_topk": r"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents),
+        c AS (SELECT word, COUNT(*) AS n FROM words GROUP BY word)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+               word, n
+        FROM c QUALIFY rank <= 50
+    """,
+    "length_quantiles": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+               CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+        FROM documents GROUP BY lang
     """,
     "epoch_shuffle": """
         SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0

@@ -194,6 +194,78 @@ def scaled_n_planes(
     return max(min_planes, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def kmeans_partial_batch(batch: pa.Table, centroids_ref, column: str = "embedding") -> pa.Table:
+    """One Lloyd-iteration partial per batch: per-cell vector sums + counts.
+
+    The distributed-iterative pattern: centroids broadcast via ``ray.put``
+    (resolved zero-copy in each task), each batch emits one row per
+    occupied cell carrying (sum_vector, count); a tiny ``groupby(cell)``
+    reduces k rows x blocks and the DRIVER updates centroids between
+    iterations.  Per iteration the shuffle moves O(k x blocks x dim)
+    floats — never the corpus.
+    """
+    import ray
+
+    c = ray.get(centroids_ref) if hasattr(centroids_ref, "hex") else centroids_ref
+    centroids = _normalize(np.asarray(c, dtype=np.float32))
+    if len(batch) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int32()), pa.array([], pa.int64()),
+             pa.array([], pa.list_(pa.float64()))],
+            names=["cell", "part_n", "part_sum"],
+        )
+    emb = _normalize(embedding_matrix(batch, column))
+    assign = np.argmax(emb @ centroids.T, axis=1)
+    cells = np.unique(assign)
+    sums = np.zeros((len(cells), emb.shape[1]), dtype=np.float64)
+    counts = np.zeros(len(cells), dtype=np.int64)
+    for i, cell in enumerate(cells):
+        members = emb[assign == cell]
+        sums[i] = members.sum(axis=0)
+        counts[i] = len(members)
+    return pa.Table.from_arrays(
+        [
+            pa.array(cells.astype(np.int32), pa.int32()),
+            pa.array(counts, pa.int64()),
+            pa.array(list(sums), pa.list_(pa.float64())),
+        ],
+        names=["cell", "part_n", "part_sum"],
+    )
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, column: str = "embedding",
+               init: np.ndarray = None):
+    """Distributed spherical k-means over a Dataset (Lloyd's iterations).
+
+    Each iteration is one streaming pass: ``map_batches(kmeans_partial)``
+    -> groupby(cell) list-sum on the driver over <= k x n_blocks compact
+    rows.  Returns (centroids, counts, inertia_proxy).
+    """
+    import ray
+
+    centroids = _normalize(np.asarray(init, dtype=np.float32))
+    counts = np.zeros(len(centroids), dtype=np.int64)
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+        parts = ds.map_batches(
+            kmeans_partial_batch, fn_kwargs={"centroids_ref": c_ref,
+                                             "column": column},
+            batch_format="pyarrow",
+        ).to_pandas()
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        new = centroids.astype(np.float64).copy()
+        for cell, sub in parts.groupby("cell"):
+            s = np.sum(np.stack(sub["part_sum"].to_numpy()), axis=0)
+            n = int(sub["part_n"].sum())
+            counts[cell] = n
+            if n:
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    new[cell] = s / norm
+        centroids = new.astype(np.float32)
+    return centroids, counts
+
+
 _HP_RNG = np.random.RandomState(1234)
 _HP_CACHE: dict[tuple[int, int], np.ndarray] = {}
 

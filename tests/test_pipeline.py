@@ -797,3 +797,31 @@ class TestNearDupEndToEndExactness:
                 for j in range(i + 1, len(docs)):
                     want[(docs[i], docs[j])] += 1
         assert got == dict(want)
+
+
+class TestDistributedKMeans:
+    def test_block_split_invariance_and_coverage(self, ray_session):
+        """Lloyd's over Ray batches is exact: identical centroids/counts at
+        any block split, and every vector lands in exactly one cluster."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray
+
+        from node_html_parser_ray.stages import similarity
+
+        path = "/root/testdata/sf0.001/embeddings.parquet"
+        sample = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+        mat = np.asarray(sample.column("embedding").to_pylist()[:256],
+                         dtype=np.float32)
+        init = mat[np.linspace(0, len(mat) - 1, 4).astype(np.int64)]
+        a_c, a_n = similarity.kmeans_fit(
+            ray.data.read_parquet(path, override_num_blocks=1),
+            k=4, iters=3, init=init)
+        b_c, b_n = similarity.kmeans_fit(
+            ray.data.read_parquet(path, override_num_blocks=7),
+            k=4, iters=3, init=init)
+        assert np.allclose(a_c, b_c, atol=1e-5)
+        assert (a_n == b_n).all()
+        n_vecs = pq.ParquetFile(path).metadata.num_rows
+        assert a_n.sum() == n_vecs
+        assert (np.abs(np.linalg.norm(a_c, axis=1) - 1.0) < 1e-5).all()
