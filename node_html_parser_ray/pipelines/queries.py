@@ -1717,6 +1717,127 @@ def q_length_quantiles(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_redact_digits(sf_dir: str):
+    """PII-style redaction: scrub digit runs, report per-doc counts.
+
+    Pure vectorized batch transform (``pc.replace_substring_regex`` /
+    ``count_substring_regex`` — RE2 on both engines, so counts and
+    redacted lengths match the SQL oracle exactly); no shuffle.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_runs = pc.count_substring_regex(text, r"[0-9]+")
+        red = pc.replace_substring_regex(text, r"[0-9]+", "#")
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_runs, pa.int64()),
+                pc.cast(pc.utf8_length(red), pa.int64()),
+            ],
+            names=["doc_id", "n_digit_runs", "redacted_len"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PACK_SHARDS = 16          # semantic parameter of the packing op (not a
+_PACK_BUDGET = 512        # parallelism knob): docs stream shard-local in
+                           # doc_id order into fixed token-budget bins
+
+
+def q_sequence_packing(sf_dir: str):
+    """Sequence packing (training-sample assembly): documents stream in
+    doc_id order within a shard into fixed token-budget packs
+    (pack = floor(prior_cumsum / budget) — GPT-style continuous packing
+    where documents may straddle pack boundaries).
+
+    One shuffle co-locates a shard; the per-shard pass is a vectorized
+    sort + cumsum.  Output: one row per (shard, pack) with doc/token
+    counts.
+    """
+    import pandas as pd
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tokens_and_shard(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        )
+        shard = pc.cast(
+            pc.bit_wise_and(batch.column("doc_id"),
+                            pa.scalar(_PACK_SHARDS - 1, pa.int64())),
+            pa.int32(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), n_tok, shard],
+            names=["doc_id", "n_tokens", "shard"],
+        )
+
+    def pack(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values("doc_id")
+        prior = g["n_tokens"].cumsum() - g["n_tokens"]
+        g["pack_id"] = (prior // _PACK_BUDGET).astype("int64")
+        out = g.groupby("pack_id", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum")
+        )
+        out["shard"] = np.int32(g["shard"].iloc[0])
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out[["shard", "pack_id", "n_docs", "n_tokens"]]
+
+    return (
+        ds.map_batches(tokens_and_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
+_STRATA_RATES = {"en": 4, "zh": 2}  # downsample dominant languages; rest 1:1
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (data-mixing): per-language keep
+    rates applied as a reproducible mod filter — block-local, no shuffle
+    until the tiny per-lang count rollup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def fil(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        rate = df["lang"].map(_STRATA_RATES).fillna(1).astype("int64")
+        kept = df[(df["doc_id"] % rate) == 0]
+        g = kept.groupby("lang", as_index=False).agg(part_n=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = ds.map_batches(fil, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("part_n")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["lang", "n_kept"])
+        return pa.Table.from_arrays(
+            [batch.column("lang"), pc.cast(batch.column("n_kept"), pa.int64())],
+            names=["lang", "n_kept"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means (iterative algorithm pattern;
     rows-only — not SQL-expressible).
@@ -1819,6 +1940,9 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "length_quantiles": q_length_quantiles,
     "kmeans_clusters": q_kmeans_clusters,
+    "redact_digits": q_redact_digits,
+    "sequence_packing": q_sequence_packing,
+    "stratified_sample": q_stratified_sample,
     "orders_by_nation": q_orders_by_nation,
     "sessions": q_sessions,
     "top_spenders": q_top_spenders,
@@ -2064,6 +2188,33 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    "redact_digits": """
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+               CAST(length(regexp_replace(text, '[0-9]+', '#', 'g')) AS BIGINT) AS redacted_len
+        FROM documents
+    """,
+    "sequence_packing": r"""
+        WITH t AS (
+          SELECT doc_id, doc_id % 16 AS shard,
+                 CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                    - n_tokens AS prior
+          FROM t)
+        SELECT CAST(shard AS INTEGER) AS shard,
+               CAST(prior // 512 AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1, 2
+    """,
+    "stratified_sample": """
+        SELECT lang, COUNT(*) AS n_kept
+        FROM documents
+        WHERE doc_id % (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 2 ELSE 1 END) = 0
+        GROUP BY lang
     """,
     "vocab_topk": r"""
         WITH words AS (
