@@ -1838,6 +1838,86 @@ def q_stratified_sample(sf_dir: str):
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs containing any benchmark
+    document's 32-char prefix (train/test-overlap check).
+
+    The benchmark side (here: docs 0-9, standing in for an eval set) is
+    tiny -> its probe strings broadcast in the task closure; the scan is
+    vectorized ``pc.match_substring`` per probe — no shuffle, no join.
+    At 10^12 docs the probe set stays benchmark-sized (thousands), so the
+    per-batch cost is O(probes x batch_bytes) streaming.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    bench = pq.read_table(path, columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", 10)])
+    probes = [
+        (t or "")[:32] for t in bench.column("text").to_pylist() if t
+    ]
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        hit = pa.array(np.zeros(len(batch), dtype=bool))
+        for p in probes:
+            hit = pc.or_(hit, pc.match_substring(text, p))
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"), hit],
+            names=["doc_id", "contaminated"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_repetition_score(sf_dir: str):
+    """Gopher-style repetition signal: distinct-vs-total word counts per doc.
+
+    Vectorized per batch (split once, per-doc distinct via a sorted-run
+    count over (doc, word) pairs); no shuffle — the score rides with the
+    row for downstream quality filtering.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.combine_chunks().flatten()
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(batch)), lengths)
+        nonempty = words != ""
+        words, doc_idx = words[nonempty], doc_idx[nonempty]
+        n_words = np.bincount(doc_idx, minlength=len(batch)).astype(np.int64)
+        # distinct per doc: sort (doc, word) pairs, count run starts
+        order = np.lexsort((words, doc_idx))
+        dw, di = words[order], doc_idx[order]
+        if len(dw):
+            new_run = np.ones(len(dw), dtype=bool)
+            new_run[1:] = (dw[1:] != dw[:-1]) | (di[1:] != di[:-1])
+            n_distinct = np.bincount(
+                di[new_run], minlength=len(batch)
+            ).astype(np.int64)
+        else:
+            n_distinct = np.zeros(len(batch), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(n_words, pa.int64()),
+                pa.array(n_distinct, pa.int64()),
+            ],
+            names=["doc_id", "n_words", "n_distinct_words"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means (iterative algorithm pattern;
     rows-only — not SQL-expressible).
@@ -1941,6 +2021,8 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "kmeans_clusters": q_kmeans_clusters,
     "redact_digits": q_redact_digits,
+    "decontaminate": q_decontaminate,
+    "repetition_score": q_repetition_score,
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "orders_by_nation": q_orders_by_nation,
@@ -2188,6 +2270,21 @@ ORACLE_SQL = {
         FROM embeddings
         WHERE vec_id <> 0
         QUALIFY rank <= 10
+    """,
+    "decontaminate": """
+        SELECT d.doc_id,
+               EXISTS (SELECT 1 FROM documents b
+                       WHERE b.doc_id < 10
+                         AND position(substr(b.text, 1, 32) IN d.text) > 0)
+                 AS contaminated
+        FROM documents d
+    """,
+    "repetition_score": r"""
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+               CAST(length(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                 AS n_distinct_words
+        FROM documents
     """,
     "redact_digits": """
         SELECT doc_id,
