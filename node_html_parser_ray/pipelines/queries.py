@@ -1397,6 +1397,130 @@ def q_minhash_neardup(sf_dir: str):
     return g.map_batches(rename, batch_format="pyarrow")
 
 
+def q_minhash_neardup_verified(sf_dir: str):
+    """MinHash-LSH candidates + exact n-gram Jaccard verification.
+
+    The full two-stage near-dup pipeline: LSH candidates (see
+    q_minhash_neardup), then texts are attached by a doc-shard co-shuffle
+    restricted to CANDIDATE docs only (the corpus is pre-filtered with a
+    broadcast candidate-id set, so full documents never shuffle — only the
+    LSH-bounded candidate slice), and each pair is verified with exact
+    k-shingle Jaccard in a pair-shard group.
+
+    Documented assumption: the candidate doc-id set fits in the object
+    store (LSH-bounded, orders of magnitude below corpus size) — the
+    standard contract for a verification stage.
+    """
+    import pandas as pd
+    import ray
+
+    n_shards = _coarse_shards()
+
+    # stage 1: LSH candidate pairs (identical plan to q_minhash_neardup)
+    pairs_tbl = q_minhash_neardup(sf_dir).to_pandas()
+    if not len(pairs_tbl):
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.float64())],
+            names=["doc_a", "doc_b", "jaccard"],
+        )
+    cand_ids = np.unique(
+        np.concatenate([pairs_tbl["doc_a"].to_numpy(),
+                        pairs_tbl["doc_b"].to_numpy()])
+    )
+    cand_ref = ray.put(cand_ids)
+
+    # candidate texts only: broadcast id set, vectorized filter — the
+    # corpus streams once, nothing else shuffles text
+    def cand_filter(batch: pa.Table, ref) -> pa.Table:
+        ids = ray.get(ref)
+        keep = np.isin(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), ids
+        )
+        out = batch.filter(pa.array(keep))
+        return pa.Table.from_arrays(
+            [out.column("doc_id"), out.column("text"),
+             pa.nulls(len(out), pa.int64()), pa.nulls(len(out), pa.int64())],
+            names=["lookup", "text", "doc_a", "doc_b"],
+        )
+
+    corpus_side = _docs(sf_dir).map_batches(
+        cand_filter, fn_kwargs={"ref": cand_ref}, batch_format="pyarrow"
+    )
+
+    # pair-side rows: one per (pair, side), keyed by the doc to look up
+    side_rows = []
+    for a, b in zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"]):
+        side_rows.append({"lookup": int(a), "text": None,
+                          "doc_a": int(a), "doc_b": int(b)})
+        side_rows.append({"lookup": int(b), "text": None,
+                          "doc_a": int(a), "doc_b": int(b)})
+    pair_side = ray.data.from_arrow(
+        pa.Table.from_pylist(side_rows, schema=pa.schema(
+            [("lookup", pa.int64()), ("text", pa.large_string()),
+             ("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ))
+    )
+
+    both = corpus_side.union(pair_side)
+
+    def add_doc_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(batch.column("lookup"),
+                            pa.scalar(n_shards - 1, pa.int64())),
+            pa.int32(),
+        )
+        return batch.append_column("doc_shard", shard)
+
+    def attach_text(group: "pd.DataFrame") -> "pd.DataFrame":
+        texts = group[group["text"].notna()].set_index("lookup")["text"]
+        sides = group[group["text"].isna()].copy()
+        sides["text"] = sides["lookup"].map(texts)
+        # the mixed group held null doc_a/doc_b on corpus rows -> float64
+        sides["doc_a"] = sides["doc_a"].astype("int64")
+        sides["doc_b"] = sides["doc_b"].astype("int64")
+        return sides[["doc_a", "doc_b", "lookup", "text"]]
+
+    attached = (
+        both.map_batches(add_doc_shard, batch_format="pyarrow")
+        .groupby("doc_shard")
+        .map_groups(attach_text, batch_format="pandas")
+    )
+
+    def add_pair_shard(batch: pa.Table) -> pa.Table:
+        key = pc.bit_wise_xor(
+            pc.multiply(batch.column("doc_a"), pa.scalar(1_000_003, pa.int64())),
+            batch.column("doc_b"),
+        )
+        shard = pc.cast(
+            pc.bit_wise_and(key, pa.scalar(n_shards - 1, pa.int64())), pa.int32()
+        )
+        return batch.append_column("pair_shard", shard)
+
+    def verify(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["doc_a", "doc_b", "lookup"])
+        piv = g.pivot_table(
+            index=["doc_a", "doc_b"], columns=g.groupby(["doc_a", "doc_b"]).cumcount(),
+            values="text", aggfunc="first",
+        )
+        piv = piv.reset_index()
+        if piv.shape[1] < 4:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = dedup.pairwise_jaccard(piv[0], piv[1])
+        out = pd.DataFrame({"doc_a": piv["doc_a"].astype("int64"),
+                            "doc_b": piv["doc_b"].astype("int64"),
+                            "jaccard": jac})
+        return out[out["jaccard"] >= 0.7]
+
+    return (
+        attached.map_batches(add_pair_shard, batch_format="pyarrow")
+        .groupby("pair_shard")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
 def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
 
@@ -2057,6 +2181,7 @@ QUERIES = {
     "selectors": q_selectors,
     "boilerplate": q_boilerplate,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_neardup_verified": q_minhash_neardup_verified,
     "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
     "fingerprints": q_fingerprints,

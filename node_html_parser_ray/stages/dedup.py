@@ -25,7 +25,6 @@ import pyarrow as pa
 
 __all__ = [
     "add_text_hash",
-    "keep_first_in_group",
     "minhash_signatures_batch",
     "lsh_band_rows",
     "bucket_candidate_pairs",
@@ -33,7 +32,7 @@ __all__ = [
     "simhash_band_rows",
     "simhash_window_pairs",
     "popcount64",
-    "ngram_jaccard_pairs",
+    "pairwise_jaccard",
     "MINHASH_PERMS",
     "LSH_BANDS",
 ]
@@ -71,14 +70,6 @@ def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column(
         "text_hash", pa.array(hi, pa.int64())
     ).append_column("text_hash_lo", pa.array(lo, pa.int64()))
-
-
-def keep_first_in_group(group: pd.DataFrame) -> pd.DataFrame:
-    """map_groups combiner: keep the row with the smallest doc_id."""
-    idx = group["doc_id"].idxmin()
-    out = group.loc[[idx]].copy()
-    out["dup_count"] = np.int64(len(group))
-    return out
 
 
 def _utf8_flat(col) -> tuple[np.ndarray, np.ndarray]:
@@ -402,33 +393,22 @@ def simhash_window_pairs(
     })
 
 
-def ngram_jaccard_pairs(
-    group: pd.DataFrame, k: int = 5, threshold: float = 0.0
-) -> pd.DataFrame:
-    """map_groups verifier: exact k-shingle Jaccard for docs sharing a bucket.
+def pairwise_jaccard(
+    texts_a: "pd.Series", texts_b: "pd.Series", k: int = 5
+) -> np.ndarray:
+    """Exact k-shingle Jaccard for aligned candidate-pair text columns.
 
-    Used as the verification stage after LSH banding; the group carries each
-    candidate's text so no join back to the corpus is needed.
+    The verification stage after LSH banding: candidate pairs arrive with
+    both texts attached (co-shuffled by pair shard), one similarity per
+    row.  Pair counts are LSH-bounded, so the per-pair set ops stay tiny
+    relative to the corpus scan.
     """
-    rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-    docs = list(rows["doc_id"])
-    texts = list(rows["text"])
-    if len(docs) < 2:
-        return pd.DataFrame(
-            {"doc_a": pd.Series(dtype=str), "doc_b": pd.Series(dtype=str),
-             "jaccard": pd.Series(dtype=float)}
-        )
-    shingles = [
-        {t[i : i + k] for i in range(max(len(t) - k + 1, 1))} for t in texts
-    ]
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(docs)):
-        for j in range(i + 1, len(docs)):
-            inter = len(shingles[i] & shingles[j])
-            union = len(shingles[i] | shingles[j])
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                out_a.append(docs[i])
-                out_b.append(docs[j])
-                out_j.append(jac)
-    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+    out = np.empty(len(texts_a), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        a = a or ""
+        b = b or ""
+        sa = {a[j : j + k] for j in range(max(len(a) - k + 1, 1))}
+        sb = {b[j : j + k] for j in range(max(len(b) - k + 1, 1))}
+        union = len(sa | sb)
+        out[i] = len(sa & sb) / union if union else 0.0
+    return out

@@ -857,3 +857,40 @@ class TestSequencePacking:
         # construction; its token count can exceed the budget only via a
         # straddling doc (>= budget - max doc is not asserted; just sanity)
         assert (df["n_docs"] >= 1).all()
+
+
+class TestMinhashVerified:
+    def test_verified_pairs_have_high_jaccard(self, ray_session):
+        """Stage-2 verification: every emitted pair's exact Jaccard >= 0.7
+        and recomputing it driver-side agrees."""
+        from node_html_parser_ray.pipelines.queries import QUERIES
+        from node_html_parser_ray.stages.dedup import pairwise_jaccard
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        sf = "/root/testdata/sf0.001"
+        df = QUERIES["minhash_neardup_verified"](sf).to_pandas()
+        cand = QUERIES["minhash_neardup"](sf).to_pandas()
+        assert len(df) <= len(cand)
+        if len(df):
+            t = pq.read_table(sf + "/documents.parquet",
+                              columns=["doc_id", "text"])
+            texts = dict(zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()))
+            want = pairwise_jaccard(
+                pd.Series([texts[a] for a in df["doc_a"]]),
+                pd.Series([texts[b] for b in df["doc_b"]]),
+            )
+            assert (abs(df["jaccard"].to_numpy() - want) < 1e-12).all()
+            assert (df["jaccard"] >= 0.7).all()
+
+    def test_pairwise_jaccard_basics(self):
+        import pandas as pd
+
+        from node_html_parser_ray.stages.dedup import pairwise_jaccard
+
+        a = pd.Series(["abcdefgh", "xxxxx", ""])
+        b = pd.Series(["abcdefgh", "yyyyy", ""])
+        j = pairwise_jaccard(a, b)
+        assert j[0] == 1.0 and j[1] == 0.0 and j[2] == 1.0
