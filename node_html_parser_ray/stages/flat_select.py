@@ -11,10 +11,14 @@ conjunctions, i.e. one selector part) are then evaluated as pure
 all — and counted per doc with a vectorized groupby.  This is the scale path
 for "count/filter nodes matching X" workloads (SURVEY.md §2.5 mapping note).
 
-Descendant chains and attribute *operators* keep full reference-exact
-semantics on the per-document automaton (stages/selector_stage.SelectorStage);
-the matched-node *set* of a single part is identical between both paths,
-which the parity test asserts.
+Attribute *operators* (``= != ^= $= *= |= ~=``) are also columnar: each
+node's decoded attribute map is encoded into one sentinel-delimited string
+(``\x02key\x01value\x02…``, control chars escaped) and every operator
+becomes one RE2 ``match_substring_regex`` over that column.  The rare
+inexpressible edges (``~=`` with empty/whitespace values) raise ValueError
+and route to the per-document automaton (stages/selector_stage.SelectorStage);
+the matched-node *set* is identical between both paths, which the parity
+tests assert.
 """
 from __future__ import annotations
 
@@ -24,8 +28,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..kernel.extract import assemble_document, flatten_tree
+from ..kernel.jsregex import S as _JS_WS_CLASS
 from ..kernel.parser import parse
-from ..kernel.selector import _SELECTOR_PART_RE
+from ..kernel.selector import _ATTR_SELECTOR_RE, _SELECTOR_PART_RE
 
 __all__ = [
     "explode_nodes_batch",
@@ -43,9 +48,70 @@ NODE_TABLE_SCHEMA = pa.schema(
         ("tag", pa.string()),
         ("id", pa.string()),
         ("classes", pa.string()),
-        ("attr_keys", pa.string()),  # parsed attribute KEYS, space-joined
+        # decoded attribute map, one string: \x02k\x01v\x02k\x01v\x02
+        # (control chars \x00-\x02 escaped; "" when the node has no attrs)
+        ("attrs_enc", pa.string()),
     ]
 )
+
+
+def _esc(s: str) -> str:
+    """Escape the encoding sentinels out of keys/values (injective)."""
+    return (
+        s.replace("\x00", "\x00z").replace("\x01", "\x00a").replace("\x02", "\x00b")
+    )
+
+
+def _encode_attrs(attrs: dict) -> str:
+    """Encode a decoded attribute map as \x02k\x01v\x02…\x02 (or "")."""
+    if not attrs:
+        return ""
+    return "\x02" + "\x02".join(
+        f"{_esc(k)}\x01{_esc(v)}" for k, v in attrs.items()
+    ) + "\x02"
+
+
+# JS whitespace char class for the ~= word-boundary regex: Python-re form
+# for the local needle check, RE2 form (\uXXXX -> \x{XXXX}) for arrow
+_WS_CC_PY = _JS_WS_CLASS
+_WS_CC = re.sub(r"\\u([0-9a-fA-F]{4})", r"\\x{\1}", _JS_WS_CLASS)
+
+
+def _attr_op_mask(col, key: str, op: str, value: str):
+    """RE2 mask for one [key op value] over the encoded attrs column.
+
+    Mirrors kernel.selector._make_attr_checker exactly (decoded values,
+    case-sensitive, != true on missing attribute).  Raises ValueError for
+    the edges the encoding cannot express — the caller routes those parts
+    to the per-document automaton.
+    """
+    k = re.escape(_esc(key))
+    v = re.escape(_esc(value))
+    if op == "":
+        return pc.match_substring_regex(col, f"\x02{k}\x01")
+    if op == "=":
+        return pc.match_substring_regex(col, f"\x02{k}\x01{v}\x02")
+    if op == "!=":
+        return pc.invert(
+            pc.match_substring_regex(col, f"\x02{k}\x01{v}\x02")
+        )
+    if op == "^=":
+        return pc.match_substring_regex(col, f"\x02{k}\x01{v}")
+    if op == "$=":
+        return pc.match_substring_regex(col, f"\x02{k}\x01[^\x02]*{v}\x02")
+    if op == "*=":
+        return pc.match_substring_regex(col, f"\x02{k}\x01[^\x02]*{v}")
+    if op == "|=":
+        return pc.match_substring_regex(col, f"\x02{k}\x01{v}(-|\x02)")
+    if op == "~=":
+        if value == "" or re.search(_WS_CC_PY, value):
+            # js_ws_split edge semantics (empty fields at the boundaries,
+            # whitespace inside the needle) — automaton territory
+            raise ValueError(f"unsupported attr op edge: [{key}~={value!r}]")
+        return pc.match_substring_regex(
+            col, f"\x02{k}\x01([^\x02]*{_WS_CC})?{v}({_WS_CC}[^\x02]*)?\x02"
+        )
+    raise ValueError(f"unsupported attr operator: {op!r}")
 
 
 def explode_nodes_batch(batch: pa.Table) -> pa.Table:
@@ -89,10 +155,9 @@ def explode_nodes_batch(batch: pa.Table) -> pa.Table:
                 out_tag.append(node.tag_name)
                 out_id.append(node.id)
                 out_cls.append(" ".join(node.class_names))
-                # PARSED keys (reference rawAttributes semantics) — matching
-                # raw attr text by regex false-positives on values that
-                # contain "key=" (caught by the fuzz parity test)
-                out_attrs.append(" ".join(node.raw_attributes) if node.raw_attrs else "")
+                out_attrs.append(
+                    _encode_attrs(node.attributes) if node.raw_attrs else ""
+                )
                 stack.extend((c, nid) for c in reversed(node.child_nodes))
             else:
                 out_tag.append("")
@@ -147,20 +212,17 @@ def columnar_part_mask(nodes: pa.Table, part: str) -> pa.ChunkedArray:
                 mask, pc.match_substring_regex(nodes.column("classes"), pattern)
             )
     if attrs:
-        bare = list(re.finditer(r"\[([^\]=~|^$*!]+)\]", attrs))
-        if sum(len(am.group(0)) for am in bare) != len(attrs):
-            # an [attr op value] operator slipped through — those need the
-            # per-document automaton (SelectorStage), not this fast path
+        matches = list(_ATTR_SELECTOR_RE.finditer(attrs))
+        if sum(len(am.group(0)) for am in matches) != len(attrs):
             raise ValueError(f"unsupported selector part: {part!r}")
-        for am in bare:
-            key = am.group(1).strip()
-            # exact word match over the PARSED key list (keys contain no
-            # whitespace per the reference's kAttributePattern)
-            pattern = f"(^| ){re.escape(key)}( |$)"
-            mask = pc.and_(
-                mask, pc.match_substring_regex(nodes.column("attr_keys"), pattern)
-            )
+        col = nodes.column("attrs_enc")
+        for am in matches:
+            key, op, value = am.group(1), am.group(2) or "", am.group(3) or ""
+            if not key:
+                raise ValueError(f"unsupported selector part: {part!r}")
+            mask = pc.and_(mask, _attr_op_mask(col, key, op, value))
     return mask
+
 
 
 def columnar_select_mask(nodes: pa.Table, selector: str):
@@ -189,7 +251,21 @@ def columnar_select_mask(nodes: pa.Table, selector: str):
             acc = acc | columnar_select_mask(nodes, s)
         return acc
 
-    parts = selector.split()
+    # tokenize the descendant chain with the SAME part regex the automaton
+    # compiles with (plain .split() would break quoted attribute values
+    # containing spaces, e.g. [title="b c d"]); reject any text the part
+    # grammar does not fully consume
+    parts: list[str] = []
+    last_end = 0
+    for pm in _SELECTOR_PART_RE.finditer(selector):
+        if not pm.group(0).strip():
+            continue
+        if selector[last_end:pm.start()].strip():
+            raise ValueError(f"unsupported selector: {selector!r}")
+        parts.append(pm.group(0).strip())
+        last_end = pm.end()
+    if selector[last_end:].strip():
+        raise ValueError(f"unsupported selector: {selector!r}")
     if not parts:
         raise ValueError("empty selector")
 

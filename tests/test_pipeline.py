@@ -505,10 +505,11 @@ class TestSelectorStageColumnarRouting:
             '<section><div><img src="/a"><span data-x="1">t</span></div></section>',
             "plain",
         ]
-        # mix: columnar-eligible (first four) + automaton-only (operator attr)
+        # all columnar-eligible since round 2 (attribute operators run as
+        # RE2 masks over the encoded attrs column)
         selectors = ["div li", ".c", "div span, li", "[src]", '[data-x="1"]']
         stage = SelectorStage(selectors, emit_text=False)
-        assert set(stage.columnar) == {"div li", ".c", "div span, li", "[src]"}
+        assert set(stage.columnar) == set(selectors)
 
         table = pa.Table.from_arrays(
             [pa.array(["a", "b", "c"], pa.string()),

@@ -476,3 +476,65 @@ class TestColumnarDescendant:
             assert n_col == len(parse(html).query_selector_all(sel)), (html, sel)
 
         check()
+
+
+class TestColumnarAttributeOperators:
+    """Round 2: attribute operators run columnar (RE2 masks over the
+    encoded attrs column) — match sets must equal the automaton."""
+
+    HTML = (
+        '<div data-x="1" href="https://x.com/y" title="b c d">'
+        '<span lang="en-US" title="x-y">t</span>'
+        '<a title="">empty</a>'
+        '<p data-x="12">p</p>'
+        "</div>"
+    )
+
+    SELECTORS = [
+        '[data-x="1"]', '[data-x!="1"]', '[data-x^="1"]', '[data-x$="2"]',
+        '[data-x*="2"]', '[lang|="en"]', '[lang|="en-US"]', '[title~="c"]',
+        '[title~="b c"]', '[title=""]', '[title!=""]', '[title^="x"]',
+        '[missing]', '[missing!="v"]', 'div [title~="y"]',
+        'div[title~="d"] span[lang|="en"]', '[data-x="1"][title~="b"]',
+        '[title$="d"], [lang$="US"]',
+    ]
+
+    def test_fixed_parity_vs_automaton(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from node_html_parser_ray.kernel.parser import parse
+        from node_html_parser_ray.stages import flat_select
+
+        t = pa.table({"doc_id": ["a"], "html": [self.HTML]})
+        nodes = flat_select.explode_nodes_batch(t)
+        root = parse(self.HTML)
+        for sel in self.SELECTORS:
+            try:
+                m = flat_select.columnar_select_mask(nodes, sel)
+            except ValueError:
+                continue  # routed to the automaton by design
+            n = int(np.asarray(
+                m if isinstance(m, np.ndarray)
+                else m.to_numpy(zero_copy_only=False)
+            ).sum())
+            assert n == len(root.query_selector_all(sel)), sel
+
+    def test_ws_edge_routes_to_automaton(self):
+        import pyarrow as pa
+        import pytest
+
+        from node_html_parser_ray.stages import flat_select
+
+        t = pa.table({"doc_id": ["a"], "html": [self.HTML]})
+        nodes = flat_select.explode_nodes_batch(t)
+        with pytest.raises(ValueError):
+            flat_select.columnar_part_mask(nodes, '[title~=""]')
+
+    def test_sentinel_escaping_injective(self):
+        from node_html_parser_ray.stages.flat_select import _encode_attrs, _esc
+
+        vals = ["", "\x00", "\x01", "\x02", "\x00z", "a\x01b", "\x02\x02"]
+        assert len({_esc(v) for v in vals}) == len(vals)
+        e = _encode_attrs({"k": "\x02v"})
+        assert e.count("\x02") == 2  # only the delimiters remain unescaped
