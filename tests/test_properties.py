@@ -113,7 +113,11 @@ class TestBatchKernelParity:
             selector_counts,
         )
 
-        parts = ["div", "*", ".ab", "#a", "[title]", "span"]
+        # incl. attribute operators (columnar since round 2) — the fuzz
+        # alphabet produces quoted/unquoted attrs, '&' entities and '='
+        parts = ["div", "*", ".ab", "#a", "[title]", "span",
+                 '[a="b"]', '[a!="b"]', '[a^="a"]', '[a$="b"]',
+                 '[a*="a"]', '[a|="a"]', '[a~="ab"]']
         table = pa.table(
             {
                 "doc_id": [str(i) for i in range(len(htmls))],
