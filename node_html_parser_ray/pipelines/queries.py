@@ -1622,6 +1622,26 @@ def q_media_features(sf_dir: str):
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio plumbing: refs -> fake payload -> feature stage
+    (actor pool, per-actor decoder setup; rows-only — stub codec)."""
+    from ..stages.multimodal import AudioFeatureStage
+
+    def refs(batch: pa.Table) -> pa.Table:
+        doc_ids = [str(d) for d in batch.column("doc_id").to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array([f"media://{d}/a" for d in doc_ids], pa.string())],
+            names=["media_ref"],
+        )
+
+    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+        concurrency=_pool(),
+    ).select_columns(["media_ref", "duration_ms", "sample_rate", "n_windows"])
+
+
 def q_frame_pipeline(sf_dir: str):
     """Multimodal chain: payload -> frame-sample (1 row per frame, flat-map
     shape) -> per-frame resize -> per-video frame accounting (rows-only)."""
@@ -2187,6 +2207,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
+    "audio_features": q_audio_features,
     "frame_pipeline": q_frame_pipeline,
 }
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 
 __all__ = [
     "MediaDecodeStage",
+    "AudioFeatureStage",
+    "AUDIO_FEATURES_SCHEMA",
     "ImageResizeStage",
     "FrameSampleStage",
     "MEDIA_FEATURES_SCHEMA",
@@ -171,6 +173,98 @@ class FrameSampleStage:
                 pa.array(o_frame, pa.binary()),
             ],
             schema=FRAME_SCHEMA,
+        )
+
+
+AUDIO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("duration_ms", pa.int64()),
+        ("sample_rate", pa.int32()),
+        ("n_windows", pa.int32()),
+        ("features", pa.list_(pa.float32(), 16)),
+    ]
+)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio payload -> (duration, windowed features).
+
+    Same contract as the image/video stages: per-actor decoder setup in
+    ``__init__`` (import-guarded — ``real_decode=True`` uses soundfile
+    where the wheel exists, raises cleanly here), per-batch work in
+    ``__call__``, small-batch sizing left to the caller because payloads
+    are large.  The stub decoder is deterministic: duration derives from
+    byte length at a nominal bitrate and features are a content-hash-seeded
+    spectrogram-mean stand-in, so downstream pipelines exercise realistic
+    shapes.
+    """
+
+    NOMINAL_BYTES_PER_SEC = 16_000  # stub bitrate: 128 kbit/s
+
+    def __init__(self, real_decode: bool = False, feature_dim: int = 16,
+                 window_ms: int = 250) -> None:
+        self.feature_dim = feature_dim
+        self.window_ms = window_ms
+        self._sf = None
+        if real_decode:
+            try:
+                import soundfile  # type: ignore
+
+                self._sf = soundfile
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/ffmpeg, not "
+                    "present in this container; use the deterministic fake"
+                ) from e
+
+    def _decode_fake(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        h = zlib.crc32(payload)
+        duration_ms = max(1, len(payload) * 1000 // self.NOMINAL_BYTES_PER_SEC)
+        sample_rate = 16_000
+        n_windows = max(1, duration_ms // self.window_ms)
+        rng = np.random.RandomState(h & 0x7FFFFFFF)
+        features = rng.standard_normal(self.feature_dim).astype(np.float32)
+        return duration_ms, sample_rate, n_windows, features
+
+    def _decode_real(self, payload: bytes):  # pragma: no cover - no wheel
+        import io
+
+        data, rate = self._sf.read(io.BytesIO(payload))
+        data = np.atleast_2d(np.asarray(data, dtype=np.float32).T)
+        duration_ms = int(data.shape[1] * 1000 / rate)
+        n_windows = max(1, duration_ms // self.window_ms)
+        strips = np.array_split(np.abs(data).mean(axis=0), self.feature_dim)
+        feats = np.array([s.mean() if s.size else 0.0 for s in strips],
+                         dtype=np.float32)
+        return duration_ms, int(rate), n_windows, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        decode = self._decode_real if self._sf is not None else self._decode_fake
+        dur: list[int] = []
+        rate: list[int] = []
+        wins: list[int] = []
+        feats = np.empty((len(refs), self.feature_dim), dtype=np.float32)
+        for i, payload in enumerate(payloads):
+            d, r, w, f = decode(payload or b"")
+            dur.append(d)
+            rate.append(r)
+            wins.append(w)
+            feats[i] = f
+        features_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), self.feature_dim
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(dur, pa.int64()),
+                pa.array(rate, pa.int32()),
+                pa.array(wins, pa.int32()),
+                features_col,
+            ],
+            schema=AUDIO_FEATURES_SCHEMA,
         )
 
 

@@ -895,3 +895,51 @@ class TestMinhashVerified:
         b = pd.Series(["abcdefgh", "yyyyy", ""])
         j = pairwise_jaccard(a, b)
         assert j[0] == 1.0 and j[1] == 0.0 and j[2] == 1.0
+
+
+class TestAudioStage:
+    def test_audio_plumbing_deterministic(self, ray_session):
+        import ray
+
+        from node_html_parser_ray.stages.multimodal import (
+            AudioFeatureStage,
+            fake_payload_batch,
+        )
+
+        table = pa.Table.from_arrays(
+            [pa.array([f"media://a/{i}" for i in range(6)], pa.string())],
+            names=["media_ref"],
+        )
+        ds = (
+            ray.data.from_arrow(table)
+            .map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=2)
+            .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=2, concurrency=1)
+        )
+        rows = {r["media_ref"]: r for r in ds.take_all()}
+        assert len(rows) == 6
+        for r in rows.values():
+            assert r["duration_ms"] >= 1
+            assert r["sample_rate"] == 16000
+            assert len(r["features"]) == 16
+        # determinism across runs
+        again = {
+            r["media_ref"]: r["duration_ms"]
+            for r in ray.data.from_arrow(table)
+            .map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=3)
+            .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=3, concurrency=1)
+            .take_all()
+        }
+        assert again == {k: v["duration_ms"] for k, v in rows.items()}
+
+    def test_real_decode_guard(self):
+        try:
+            import soundfile  # noqa: F401
+            pytest.skip("soundfile present")
+        except ImportError:
+            pass
+        from node_html_parser_ray.stages.multimodal import AudioFeatureStage
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(real_decode=True)
