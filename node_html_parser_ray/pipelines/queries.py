@@ -1622,6 +1622,98 @@ def q_media_features(sf_dir: str):
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
+def q_interleaved_media_features(sf_dir: str):
+    """End-to-end interleaved multimodal flow: extraction -> span explode ->
+    media-payload decode (actor pool) -> per-doc alignment counts.
+
+    The marquee interleaved-training-data shape: text spans pass through;
+    media spans fan out to the decode stage (small batches — payloads are
+    big) and rejoin per document.  Both sides pre-aggregate counts before
+    ONE per-doc groupby, so the shuffle moves two count rows per doc.
+    Oracle: span counts are closed-form in the synthesis template.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, kinds, refs = [], [], []
+        for did, row in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            for s in row:
+                doc_ids.append(did)
+                kinds.append(s["kind"])
+                refs.append(s["media_ref"])
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string()), pa.array(kinds, pa.string()),
+             pa.array(refs, pa.string())],
+            names=["doc_id", "kind", "media_ref"],
+        )
+
+    spans = out.map_batches(explode, batch_format="pyarrow")
+
+    def media_rows(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.not_equal(batch.column("kind"), "text"))
+        return m.select(["media_ref", "kind"])
+
+    media = spans.map_batches(media_rows, batch_format="pyarrow")
+    media = media.map_batches(fake_payload_batch, batch_format="pyarrow",
+                              batch_size=32)
+    decoded = media.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=32,
+        concurrency=_pool(),
+    )
+
+    def media_partial(batch: pa.Table) -> pa.Table:
+        # doc_id rides inside the deterministic media_ref (media://DID/k)
+        doc_ids = [
+            r.split("//", 1)[1].split("/", 1)[0]
+            for r in batch.column("media_ref").to_pylist()
+        ]
+        t = pa.Table.from_arrays(
+            [pa.array(doc_ids, pa.string())], names=["doc_id"]
+        )
+        g = t.group_by("doc_id").aggregate([("doc_id", "count")])
+        g = g.rename_columns(["doc_id", "part_media"])
+        return pa.Table.from_arrays(
+            [g.column("doc_id"), pa.nulls(len(g), pa.int64()),
+             pc.cast(g.column("part_media"), pa.int64())],
+            names=["doc_id", "part_text", "part_media"],
+        )
+
+    def text_partial2(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("kind"), "text"))
+        g = t.group_by("doc_id").aggregate([("kind", "count")])
+        g = g.rename_columns(["doc_id", "part_text"])
+        return pa.Table.from_arrays(
+            [g.column("doc_id"), pc.cast(g.column("part_text"), pa.int64()),
+             pa.nulls(len(g), pa.int64())],
+            names=["doc_id", "part_text", "part_media"],
+        )
+
+    both = spans.map_batches(text_partial2, batch_format="pyarrow").union(
+        decoded.map_batches(media_partial, batch_format="pyarrow")
+    )
+    g = both.groupby("doc_id").aggregate(Sum("part_text"), Sum("part_media"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(["doc_id", "n_text_spans", "n_media_decoded"])
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.coalesce(batch.column("n_text_spans"),
+                                    pa.scalar(0, pa.int64())), pa.int64()),
+                pc.cast(pc.coalesce(batch.column("n_media_decoded"),
+                                    pa.scalar(0, pa.int64())), pa.int64()),
+            ],
+            names=["doc_id", "n_text_spans", "n_media_decoded"],
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio plumbing: refs -> fake payload -> feature stage
     (actor pool, per-actor decoder setup; rows-only — stub codec)."""
@@ -2208,6 +2300,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "media_features": q_media_features,
     "audio_features": q_audio_features,
+    "interleaved_media_features": q_interleaved_media_features,
     "frame_pipeline": q_frame_pipeline,
 }
 
@@ -2496,6 +2589,12 @@ ORACLE_SQL = {
     # Each SQL below mirrors that closed form; if the kernel's parse /
     # selector / DOM semantics drift, the constants stop holding and the
     # oracle fails — a real gate, not a tautology.
+    "interleaved_media_features": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(3 AS BIGINT) AS n_text_spans,
+               CAST(doc_id % 3 AS BIGINT) AS n_media_decoded
+        FROM documents
+    """,
     "extract_interleaved": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                CAST(3 + doc_id % 3 AS BIGINT) AS n_spans,
