@@ -27,7 +27,7 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernel.extract import assemble_document, flatten_tree
+from ..kernel.extract import assemble_document
 from ..kernel.jsregex import S as _JS_WS_CLASS
 from ..kernel.parser import parse
 from ..kernel.selector import _ATTR_SELECTOR_RE, _SELECTOR_PART_RE
