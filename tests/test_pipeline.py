@@ -943,3 +943,33 @@ class TestAudioStage:
 
         with pytest.raises(NotImplementedError):
             AudioFeatureStage(real_decode=True)
+
+
+class TestCrashRecovery:
+    def test_partial_shard_output_overwritten(self, ray_session, tmp_path):
+        """A shard directory left by a crashed run (files on disk, NO
+        manifest commit) is replaced wholesale on re-run — never
+        double-counted (idempotent commit contract)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.sources.corpus import write_corpus
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=60, seed=6, rows_per_file=15)
+        out = str(tmp_path / "out")
+        # simulate a crash: shard 0's dir exists with garbage, no commit
+        shard0 = os.path.join(out, "shard=000000")
+        os.makedirs(shard0)
+        with open(os.path.join(shard0, "garbage.parquet"), "wb") as f:
+            f.write(b"not parquet")
+
+        result = run_checkpointed(files, out, shard_count=4)
+        assert sorted(result["ran"]) == [0, 1, 2, 3]
+        assert result["totals"]["n_docs"] == 60
+        # the garbage file is gone and the shard output is readable
+        assert not os.path.exists(os.path.join(shard0, "garbage.parquet"))
+        t = pq.read_table(shard0, columns=["doc_id"])
+        assert t.num_rows == 15
