@@ -859,6 +859,28 @@ class TestSequencePacking:
         # straddling doc (>= budget - max doc is not asserted; just sanity)
         assert (df["n_docs"] >= 1).all()
 
+    def test_range_width_invariance(self, ray_session, monkeypatch):
+        """The doc_id-range width is a parallelism knob only: outputs are
+        identical under a tiny width (forcing many range-straddling packs
+        through the partial-sum + prefix-scan + merge path)."""
+        from node_html_parser_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            QUERIES["sequence_packing"](sf)
+            .to_pandas()
+            .sort_values(["shard", "pack_id"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.setenv("NHPR_PACK_RANGE", "16")
+        narrow = (
+            QUERIES["sequence_packing"](sf)
+            .to_pandas()
+            .sort_values(["shard", "pack_id"])
+            .reset_index(drop=True)
+        )
+        assert base.equals(narrow)
+
 
 class TestMinhashVerified:
     def test_verified_pairs_have_high_jaccard(self, ray_session):
