@@ -55,11 +55,18 @@ def main() -> None:
 
     from node_html_parser_ray.pipelines.extraction import run_checkpointed
 
-    files = sorted(
-        os.path.join(args.input, f)
-        for f in os.listdir(args.input)
-        if f.endswith(".parquet")
-    )
+    from node_html_parser_ray.sources import lance_io
+
+    if lance_io.is_lance_dataset(args.input):
+        # a Lance dataset is one directory-granular shard (fragment lineage
+        # is recorded by the manifest); file-level sharding applies to parquet
+        files = [args.input]
+    else:
+        files = sorted(
+            os.path.join(args.input, f)
+            for f in os.listdir(args.input)
+            if f.endswith(".parquet")
+        )
     if not files:
         print(json.dumps({"error": f"no parquet files under {args.input}"}))
         sys.exit(2)

@@ -60,7 +60,13 @@ def _coarse_shards(multiple: int = 4) -> int:
     """
     env = os.environ.get("NHPR_COARSE_SHARDS")
     if env:
-        return int(env)
+        # call sites mask with `key & (n-1)`, so a non-power-of-two override
+        # would silently shrink/skew the shard set — round up instead
+        v = max(1, int(env))
+        n = 1
+        while n < v:
+            n <<= 1
+        return n
     import ray
 
     try:
@@ -2209,6 +2215,9 @@ def q_decontaminate(sf_dir: str):
         hit = pa.array(np.zeros(len(batch), dtype=bool))
         for p in probes:
             hit = pc.or_(hit, pc.match_substring(text, p))
+        # pc.or_ propagates nulls: a null text must read as NOT contaminated
+        # (SQL EXISTS semantics), not null
+        hit = pc.coalesce(hit, pa.scalar(False))
         return pa.Table.from_arrays(
             [batch.column("doc_id"), hit],
             names=["doc_id", "contaminated"],
@@ -2746,6 +2755,37 @@ ORACLE_SQL = {
                100.0 AS pass_rate_pct
     """,
 }
+
+# fingerprints oracle: the FNV-weighted 8-codepoint window hash is plain
+# integer arithmetic (textstats._FP_WEIGHTS), so DuckDB reproduces it with
+# HUGEINT mod-2^64 math — windows start at stride 4, short docs are
+# zero-padded to one window (the CASE term), min = window_fingerprint,
+# sum mod 2^63 = text_fingerprint.
+_FP_W_CONSTS = [1099511628211, 956575116354345, 624165263380053675,
+                11527715348014283921, 913917546033277539,
+                15895002104753931833, 14218562807570617051,
+                2232315406967589409]
+_FP_TERMS = "\n           + ".join(
+    f"CAST(CASE WHEN i+{j} <= length(COALESCE(text,'')) THEN "
+    f"unicode(substr(COALESCE(text,''), CAST(i+{j} AS INT), 1)) "
+    f"ELSE 0 END AS HUGEINT) * CAST({w} AS HUGEINT)"
+    for j, w in enumerate(_FP_W_CONSTS)
+)
+ORACLE_SQL["fingerprints"] = f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(COALESCE(text,'')) - 7, 1) + 1, 4)) AS i
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+           ({_FP_TERMS}) % CAST(18446744073709551616 AS HUGEINT) AS h
+      FROM pos)
+    SELECT doc_id,
+           CAST((SUM(h) % CAST(18446744073709551616 AS HUGEINT))
+                 % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS text_fingerprint,
+           CAST(MIN(h) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS window_fingerprint
+    FROM w GROUP BY doc_id
+"""
 
 
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):

@@ -58,6 +58,10 @@ def read_documents(
     ``read_parquet`` (column projection pushes down in both)."""
     import ray
 
+    # a single-element file list may carry a Lance dataset dir (extract_job
+    # passes the dataset through as one shard) — unwrap for detection
+    if not isinstance(path, str) and len(path) == 1:
+        path = path[0]
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks

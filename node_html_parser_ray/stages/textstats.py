@@ -2,12 +2,10 @@
 
 Training-data-pipeline operators over a ``text`` column.  All counting ops
 are vectorized with ``pyarrow.compute`` regex kernels (no Python loop over
-rows in the hot path); the rolling-hash fingerprint uses zlib.crc32 (C speed)
-per row.  Stateless -> Ray tasks.
+rows in the hot path); the rolling-hash fingerprint is numpy-vectorized
+per row over codepoint windows.  Stateless -> Ray tasks.
 """
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -108,37 +106,48 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Document fingerprint: crc32 of full text + crc32 of 8-gram window set.
+# FNV-prime powers p^1..p^8 mod 2^64 — the 8-gram window-hash weights.
+# Plain integer arithmetic so a SQL engine reproduces the fingerprint
+# exactly (see ORACLE_SQL["fingerprints"]): hash(window at i) =
+# sum_j codepoint[i+j] * p^(j+1) mod 2^64, windows at stride 4.
+_FP_WEIGHTS = np.cumprod(
+    np.full(8, 1099511628211, dtype=np.uint64), dtype=np.uint64
+)
+_FP_MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
 
-    The windowed fingerprint (min of rolling window hashes — a 1-perm
-    MinHash) is *usually* stable under small appends (it changes only when
-    a new window hashes below the current minimum), unlike the full hash.
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint over 8-codepoint rolling window hashes.
+
+    Two int64 fingerprints per doc, both reductions of the same FNV-weighted
+    window-hash set (deterministic integer arithmetic — oracle-verifiable):
+
+    * ``window_fingerprint`` = min window hash (a 1-perm MinHash) —
+      *usually* stable under small appends (changes only when a new window
+      hashes below the current minimum);
+    * ``text_fingerprint`` = sum of window hashes mod 2^63 — order-
+      sensitive whole-document hash (each window encodes local order).
+
+    Documents shorter than 8 codepoints are zero-padded to one window.
     """
     texts = batch.column("text").to_pylist()
     full = np.empty(len(texts), dtype=np.int64)
     windowed = np.empty(len(texts), dtype=np.int64)
-    # FNV-prime powers (uint64 wraparound) for a vectorized 8-byte window
-    # hash: all windows of a document hash in ONE numpy pass instead of a
-    # Python crc call per window
-    weights = np.cumprod(
-        np.full(8, 1099511628211, dtype=np.uint64), dtype=np.uint64
-    )
     for i, t in enumerate(texts):
-        data = t.encode("utf-8", "surrogatepass")
-        full[i] = zlib.crc32(data)
-        if len(data) >= 8:
-            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-            wins = np.lib.stride_tricks.sliding_window_view(arr, 8)[::4]
-            hashes = (wins * weights).sum(axis=1, dtype=np.uint64)
-            windowed[i] = int(hashes.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
-        else:
-            windowed[i] = zlib.crc32(data)
+        codes = np.frombuffer(
+            (t or "").encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+        ).astype(np.uint64)
+        if len(codes) < 8:
+            codes = np.pad(codes, (0, 8 - len(codes)))
+        wins = np.lib.stride_tricks.sliding_window_view(codes, 8)[::4]
+        hashes = (wins * _FP_WEIGHTS).sum(axis=1, dtype=np.uint64)
+        windowed[i] = int(hashes.min() & _FP_MASK63)
+        full[i] = int(hashes.sum(dtype=np.uint64) & _FP_MASK63)
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
             pa.array(full, pa.int64()),
             pa.array(windowed, pa.int64()),
         ],
-        names=["doc_id", "text_crc32", "window_fingerprint"],
+        names=["doc_id", "text_fingerprint", "window_fingerprint"],
     )

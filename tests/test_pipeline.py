@@ -103,6 +103,61 @@ class TestCheckpointResume:
         assert 0 in result["skipped"]
         assert sorted(result["ran"]) == [1, 2, 3]
 
+    def test_cross_backend_resume(self, ray_session, tmp_path, monkeypatch):
+        """A manifest committed on the parquet fallback resumes correctly
+        after Lance becomes available (mocked lance API): committed parquet
+        shards are skipped untouched, new shards commit with backend=lance
+        and fragment-id lineage, and mixed-backend totals aggregate."""
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.sources import lance_io
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=60, seed=7, rows_per_file=15)
+        out = str(tmp_path / "out")
+        # shard 0 committed by a parquet-era run
+        run_checkpointed(files[0::4], out, shard_count=1)
+        assert ShardManifest(out).read(0)["backend"] == "parquet"
+
+        class _FakeFragment:
+            def __init__(self, i):
+                self.fragment_id = i
+
+        class _FakeLanceDataset:
+            def __init__(self, path):
+                self.path = path
+
+            def to_table(self, columns=None):
+                import pyarrow.parquet as pq
+
+                return pq.read_table(self.path, columns=columns)
+
+            def get_fragments(self):
+                return [_FakeFragment(0), _FakeFragment(1)]
+
+        class _FakeLance:
+            dataset = staticmethod(_FakeLanceDataset)
+
+        monkeypatch.setattr(lance_io, "HAS_LANCE", True)
+        monkeypatch.setattr(lance_io, "lance", _FakeLance, raising=False)
+
+        def fake_write(ds, out_dir, *, prefer_lance=True):
+            ds.write_parquet(out_dir, use_dictionary=False)
+            return "lance"
+
+        monkeypatch.setattr(lance_io, "write_output", fake_write)
+
+        result = run_checkpointed(files, out, shard_count=4)
+        assert 0 in result["skipped"]
+        assert sorted(result["ran"]) == [1, 2, 3]
+        assert result["totals"]["n_docs"] == 60
+        backends = {r["shard_id"]: r["backend"] for r in ShardManifest(out).lineage()}
+        assert backends[0] == "parquet"
+        assert all(backends[s] == "lance" for s in (1, 2, 3))
+        for r in ShardManifest(out).lineage():
+            if r["backend"] == "lance":
+                assert all(f.startswith("fragment:") for f in r["fragments"])
+
 
 class TestPartitioning:
     def test_partition_ids_stable_and_salted(self):
