@@ -42,7 +42,7 @@ from .parser import (
     ParseMetrics,
 )
 
-__all__ = ["extract_spans_fast"]
+__all__ = ["extract_spans_fast", "extract_spans_into"]
 
 _ASCII_WS = "\t\n\v\f\r "
 
@@ -74,7 +74,34 @@ def extract_spans_fast(
     options: Optional[dict] = None,
     metrics: Optional[ParseMetrics] = None,
 ) -> tuple[list[tuple[str, str, str, int]], bool]:
-    """Tokenize + repair + span walk over flat arrays; returns (spans, valid).
+    """Tokenize + repair + span walk; returns ``([(kind, text, media_ref,
+    order), ...], valid)`` — the differential-test surface.
+
+    Thin wrapper over :func:`extract_spans_into` (the batch hot path emits
+    into flat builders and never builds these tuples).
+    """
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    n, valid = extract_spans_into(data, media_map, options, metrics,
+                                  kinds, texts, refs)
+    return list(zip(kinds, texts, refs, range(n))), valid
+
+
+def extract_spans_into(
+    data: str,
+    media_map: Optional[dict[int, tuple[str, str, str]]],
+    options: Optional[dict],
+    metrics: Optional[ParseMetrics],
+    out_kinds: list[str],
+    out_texts: list[str],
+    out_refs: list[str],
+) -> tuple[int, bool]:
+    """Tokenize + repair + span walk over flat arrays, emitting spans
+    DIRECTLY into the caller's flat column builders (no per-span tuple —
+    round-2 verdict #5); returns (n_spans, valid).  ``order`` is implied:
+    span i of the document is order i, so the caller derives the column
+    from its offsets (vectorized), never per span.
 
     Mirrors parser.parse (reference src/index.ts:833-1028) statement for
     statement — see that module's comments for the reference line map.
@@ -228,11 +255,14 @@ def extract_spans_fast(
         metrics.valid = valid
 
     # ---- span walk (identical to kernel.extract.extract_spans) ----------
-    spans: list[tuple[str, str, str, int]] = []
+    n_spans = 0
     block: list[str] = []
     prepend_ws = False
     ws_match = _WHITESPACE_RE.match
     multi_ws_sub = _MULTI_WS_RE.sub
+    k_app = out_kinds.append
+    t_app = out_texts.append
+    r_app = out_refs.append
 
     walk: list[int] = [0]
     while walk:
@@ -244,7 +274,7 @@ def extract_spans_fast(
                 if block:
                     text = multi_ws_sub(" ", js_trim("".join(block)))
                     if text:
-                        spans.append(("text", text, "", len(spans)))
+                        k_app("text"); t_app(text); r_app(""); n_spans += 1
                     block.clear()
                     prepend_ws = False
                 placeholder = None
@@ -259,13 +289,13 @@ def extract_spans_fast(
                     kind = media_kind
                     text = attrs.get("alt") or ""
                     media_ref = attrs.get("src") or ""
-                spans.append((kind, text, media_ref, len(spans)))
+                k_app(kind); t_app(text); r_app(media_ref); n_spans += 1
                 walk.extend(reversed(kids[nid]))
             elif tg in K_BLOCK_ELEMENTS:
                 if block:
                     text = multi_ws_sub(" ", js_trim("".join(block)))
                     if text:
-                        spans.append(("text", text, "", len(spans)))
+                        k_app("text"); t_app(text); r_app(""); n_spans += 1
                     block.clear()
                     prepend_ws = False
                 walk.append(-1)
@@ -276,7 +306,7 @@ def extract_spans_fast(
             if block:
                 text = multi_ws_sub(" ", js_trim("".join(block)))
                 if text:
-                    spans.append(("text", text, "", len(spans)))
+                    k_app("text"); t_app(text); r_app(""); n_spans += 1
                 block.clear()
                 prepend_ws = False
         else:
@@ -293,5 +323,5 @@ def extract_spans_fast(
     if block:
         text = multi_ws_sub(" ", js_trim("".join(block)))
         if text:
-            spans.append(("text", text, "", len(spans)))
-    return spans, valid
+            k_app("text"); t_app(text); r_app(""); n_spans += 1
+    return n_spans, valid

@@ -19,10 +19,11 @@ from __future__ import annotations
 import zlib
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 from ..kernel.extract import assemble_document
-from ..kernel.fast_extract import extract_spans_fast
+from ..kernel.fast_extract import extract_spans_into
 from ..kernel.parser import ParseMetrics
 
 __all__ = [
@@ -101,11 +102,12 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         f_ref = [""] * len(html_col)
         f_off = [0] * len(html_col)
 
-    # flat builders for the list<struct> output column
+    # flat builders for the list<struct> output column; the kernel emits
+    # spans straight into these (extract_spans_into — no per-span tuple or
+    # unpack loop, round-2 verdict #5)
     kinds: list[str] = []
     texts: list[str] = []
     refs: list[str] = []
-    orders: list[int] = []
     offsets: list[int] = [0]
     valids: list[bool] = []
     m_nodes: list[int] = []
@@ -117,6 +119,7 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     m_spans: list[int] = []
 
     metrics = ParseMetrics()
+    total_spans = 0
     for r in range(len(doc_ids)):
         lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
@@ -124,13 +127,11 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         )
         # flat-array fast path: no per-node Python objects (differentially
         # tested bit-exact vs parse+extract_spans — tests/test_fast_extract.py)
-        spans, valid = extract_spans_fast(html, media_map, options, metrics)
-        for kind, text, ref, order in spans:
-            kinds.append(kind)
-            texts.append(text)
-            refs.append(ref)
-            orders.append(order)
-        offsets.append(len(kinds))
+        n_spans, valid = extract_spans_into(
+            html, media_map, options, metrics, kinds, texts, refs
+        )
+        total_spans += n_spans
+        offsets.append(total_spans)
         valids.append(valid)
         m_nodes.append(metrics.n_nodes)
         m_elements.append(metrics.n_elements)
@@ -138,7 +139,13 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         m_comments.append(metrics.n_comments)
         m_fixups.append(metrics.n_fixups)
         m_bytes.append(metrics.n_bytes)
-        m_spans.append(len(spans))
+        m_spans.append(n_spans)
+
+    # order = position within the doc: one vectorized ramp from the offsets
+    off_arr = np.asarray(offsets, dtype=np.int64)
+    orders = np.arange(total_spans, dtype=np.int32) - np.repeat(
+        off_arr[:-1], np.diff(off_arr)
+    ).astype(np.int32)
 
     span_struct = pa.StructArray.from_arrays(
         [
