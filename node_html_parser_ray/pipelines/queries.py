@@ -1440,6 +1440,10 @@ def q_minhash_neardup_verified(sf_dir: str):
              pa.array([], pa.float64())],
             names=["doc_a", "doc_b", "jaccard"],
         )
+    # the aggregate leaves one near-empty block per coarse shard; coalesce to
+    # size-scaled blocks so the union/sort stages don't pay per-block fixed
+    # costs on tiny blocks (count grows with pair count at scale)
+    pairs = pairs.repartition(max(1, n_pairs // 500_000 + 1)).materialize()
 
     # bloom sized ~32 bits/key (FP < 1e-6), power of two, capped at 1 GiB —
     # beyond the cap it saturates gracefully (more attach traffic, same rows)
