@@ -1561,6 +1561,62 @@ def q_minhash_neardup_verified(sf_dir: str):
     )
 
 
+def q_pdf_extract(sf_dir: str):
+    """PDF/layout parse (north_rule clause): positioned-block containers ->
+    reading-order span extraction, oracle-verified end to end.
+
+    Documents are packed into the deterministic NHPRPDF1 container (blocks
+    STORED scrambled, two-column geometry, whole-doc checksum in the
+    header); the actor-pool stage must run the recursive XY-cut to recover
+    reading order — ``order_ok`` compares crc32(reassembled text) against
+    the header, so a wrong reading order turns the row red.  n_pages /
+    n_blocks / n_chars are closed-form functions of the text the SQL oracle
+    reproduces.  Real-PDF decode (pypdf) is import-guarded in
+    stages/layout.py.
+    """
+    import ray
+
+    from ..stages import layout
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(d) for d in ids], pa.int64()),
+                pa.array(
+                    [layout.synthesize_fake_pdf(int(d), t or "")
+                     for d, t in zip(ids, texts)],
+                    pa.large_binary(),
+                ),
+            ],
+            names=["doc_id", "pdf"],
+        )
+
+    ds = _docs(sf_dir).map_batches(to_pdf, batch_format="pyarrow")
+    lo, hi = _pool()
+    out = ds.map_batches(
+        layout.PdfExtractStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(lo, hi),
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(batch.column("doc_id"), pa.int64()),
+                batch.column("n_pages"),
+                batch.column("n_blocks"),
+                batch.column("n_chars"),
+                batch.column("order_ok"),
+            ],
+            names=["doc_id", "n_pages", "n_blocks", "n_chars", "order_ok"],
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
 
@@ -2419,6 +2475,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "pdf_extract": q_pdf_extract,
     "minhash_neardup": q_minhash_neardup,
     "minhash_neardup_verified": q_minhash_neardup_verified,
     "simhash_neardup": q_simhash_neardup,
@@ -2759,6 +2816,22 @@ ORACLE_SQL = {
                100.0 AS pass_rate_pct
     """,
 }
+
+# pdf_extract oracle: page/block/char counts are closed-form in the text
+# (synthesis cuts 200-char blocks, 6 blocks/page, min one block); order_ok
+# must be TRUE for every doc — the Ray side computes it by comparing
+# crc32(text reassembled in XY-cut reading order) against the container
+# header, so a wrong reading order hash-mismatches this oracle.
+ORACLE_SQL["pdf_extract"] = """
+    SELECT doc_id,
+           CAST((greatest((length(COALESCE(text,'')) + 199) // 200, 1) + 5) // 6
+                AS BIGINT) AS n_pages,
+           CAST(greatest((length(COALESCE(text,'')) + 199) // 200, 1)
+                AS BIGINT) AS n_blocks,
+           CAST(length(COALESCE(text,'')) AS BIGINT) AS n_chars,
+           TRUE AS order_ok
+    FROM documents
+"""
 
 # fingerprints oracle: the FNV-weighted 8-codepoint window hash is plain
 # integer arithmetic (textstats._FP_WEIGHTS), so DuckDB reproduces it with
