@@ -21,6 +21,27 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from .dedup import _mix64
+
+
+def _fake_bytes(seed: int, n: int) -> bytes:
+    """Deterministic pseudo-random bytes via a vectorized splitmix64 stream.
+
+    Replaces per-row ``np.random.RandomState(seed)`` — whose Mersenne
+    initialization (~0.2 ms/row) was the dominant CPU cost of every fake
+    codec path — with one numpy pass (~30x cheaper)."""
+    words = (n + 7) >> 3
+    idx = np.arange(words, dtype=np.uint64) + np.uint64(seed & 0xFFFFFFFF)
+    return _mix64(idx).tobytes()[:n]
+
+
+def _fake_floats(seed: int, n: int) -> np.ndarray:
+    """Deterministic float32 features in [-1, 1) from the same stream."""
+    u = (_mix64(np.arange(n, dtype=np.uint64) + np.uint64(seed & 0xFFFFFFFF))
+         >> np.uint64(40)).astype(np.float32)
+    return (u / np.float32(1 << 24) * 2 - 1).astype(np.float32)
+
+
 __all__ = [
     "MediaDecodeStage",
     "AudioFeatureStage",
@@ -56,8 +77,7 @@ def fake_payload_batch(batch: pa.Table) -> pa.Table:
     for ref in refs:
         seed = zlib.crc32(ref.encode())
         n = 64 + seed % 512
-        rng = np.random.RandomState(seed & 0x7FFFFFFF)
-        payloads.append(rng.bytes(n))
+        payloads.append(_fake_bytes(seed, n))
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
 
@@ -106,7 +126,7 @@ class ImageResizeStage:
     def _resize_fake(self, payload: bytes) -> bytes:
         seed = zlib.crc32(payload)
         n = max(16, (self.width * self.height) // 512)
-        return np.random.RandomState(seed & 0x7FFFFFFF).bytes(n)
+        return _fake_bytes(seed, n)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
@@ -223,8 +243,7 @@ class AudioFeatureStage:
         duration_ms = max(1, len(payload) * 1000 // self.NOMINAL_BYTES_PER_SEC)
         sample_rate = 16_000
         n_windows = max(1, duration_ms // self.window_ms)
-        rng = np.random.RandomState(h & 0x7FFFFFFF)
-        features = rng.standard_normal(self.feature_dim).astype(np.float32)
+        features = _fake_floats(h, self.feature_dim)
         return duration_ms, sample_rate, n_windows, features
 
     def _decode_real(self, payload: bytes):  # pragma: no cover - no wheel
@@ -295,8 +314,7 @@ class MediaDecodeStage:
         h = zlib.crc32(payload)
         width = 64 + (h & 0x3FF)
         height = 64 + ((h >> 10) & 0x3FF)
-        rng = np.random.RandomState(h & 0x7FFFFFFF)
-        features = rng.standard_normal(self.feature_dim).astype(np.float32)
+        features = _fake_floats(h, self.feature_dim)
         return width, height, features
 
     def _decode_pil(self, payload: bytes) -> tuple[int, int, np.ndarray]:
