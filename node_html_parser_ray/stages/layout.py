@@ -107,7 +107,9 @@ def xy_cut_order(boxes: np.ndarray, min_gap: float = 2.0) -> np.ndarray:
             recurse(left)
             recurse(right)
             return
-        leaf = idx[np.lexsort((b[:, 0], b[:, 1]))]
+        # total order on geometry (y0, x0, y1, x1) so the reading order is
+        # input-order invariant even under (y0, x0) ties — found by fuzz
+        leaf = idx[np.lexsort((b[:, 2], b[:, 3], b[:, 0], b[:, 1]))]
         order.extend(int(i) for i in leaf)
 
     recurse(np.arange(n, dtype=np.int64))

@@ -54,6 +54,35 @@ class TestXYCut:
         assert list(xy_cut_order(np.empty((0, 4)))) == []
 
 
+class TestXYCutFuzz:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30),
+                      st.integers(1, 10), st.integers(1, 10)),
+            min_size=0, max_size=24),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_complete_and_input_order_invariant(self, raw, seed):
+        """For arbitrary (possibly overlapping) boxes: the result is a
+        permutation of all indices, and the sequence of box GEOMETRIES is
+        invariant under input shuffling (ties between identical boxes may
+        swap indices, never geometry)."""
+        boxes = np.array(
+            [[x, y, x + w, y + h] for x, y, w, h in raw], dtype=float
+        ).reshape(len(raw), 4)
+        order = xy_cut_order(boxes)
+        assert sorted(order.tolist()) == list(range(len(raw)))
+        base_geo = [tuple(boxes[i]) for i in order]
+        p = np.random.RandomState(seed).permutation(len(raw))
+        got = xy_cut_order(boxes[p])
+        got_geo = [tuple(boxes[p][i]) for i in got]
+        assert got_geo == base_geo
+
+
 class TestFakePdfContainer:
     def test_roundtrip_and_scrambled_storage(self):
         # 1500 chars of varying content -> 8 blocks, 2 pages
