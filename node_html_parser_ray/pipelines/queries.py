@@ -1451,21 +1451,52 @@ def q_minhash_neardup_verified(sf_dir: str):
     while m_bits < min(64 * n_pairs, 1 << 33):
         m_bits <<= 1
 
-    def block_bloom(batch: pa.Table) -> pa.Table:
-        ids = np.concatenate([
-            batch.column("doc_a").to_numpy(zero_copy_only=False),
-            batch.column("doc_b").to_numpy(zero_copy_only=False),
-        ])
-        bits = dedup.bloom_bits_for_ids(ids, m_bits)
-        return pa.Table.from_arrays(
-            [pa.array([bits.tobytes()], pa.large_binary())], names=["bloom"]
-        )
+    n_blocks = pairs.num_blocks()
+    # dense per-block blooms cost blocks x m/8 bytes at the driver; beyond
+    # this cap switch to the sparse build: position rows SHUFFLE (pair-scale
+    # groupby) and the driver receives exactly m/8 bytes of dense sub-arrays
+    dense_ok = n_blocks * (m_bits // 8) <= (64 << 20) and not os.environ.get(
+        "NHPR_BLOOM_SPARSE"
+    )
+    if dense_ok:
+        def block_bloom(batch: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                batch.column("doc_a").to_numpy(zero_copy_only=False),
+                batch.column("doc_b").to_numpy(zero_copy_only=False),
+            ])
+            bits = dedup.bloom_bits_for_ids(ids, m_bits)
+            return pa.Table.from_arrays(
+                [pa.array([bits.tobytes()], pa.large_binary())], names=["bloom"]
+            )
 
-    blooms = [
-        row["bloom"]
-        for row in pairs.map_batches(block_bloom, batch_format="pyarrow").take_all()
-    ]
-    bits_ref = ray.put(dedup.bloom_or_blocks(blooms, m_bits))
+        blooms = [
+            row["bloom"]
+            for row in pairs.map_batches(
+                block_bloom, batch_format="pyarrow"
+            ).take_all()
+        ]
+        bloom_bits = dedup.bloom_or_blocks(blooms, m_bits)
+    else:
+        n_bit_shards = max(1, min(_coarse_shards(), m_bits >> 16))
+
+        def position_rows(batch: pa.Table) -> pa.Table:
+            ids = np.concatenate([
+                batch.column("doc_a").to_numpy(zero_copy_only=False),
+                batch.column("doc_b").to_numpy(zero_copy_only=False),
+            ])
+            return dedup.bloom_position_rows(ids, m_bits, n_bit_shards)
+
+        def densify(group: "pd.DataFrame") -> "pd.DataFrame":
+            return dedup.bloom_shard_dense(group, m_bits, n_bit_shards)
+
+        rows = (
+            pairs.map_batches(position_rows, batch_format="pyarrow")
+            .groupby("bit_shard")
+            .map_groups(densify, batch_format="pandas")
+            .take_all()
+        )
+        bloom_bits = dedup.bloom_assemble_shards(rows, m_bits, n_bit_shards)
+    bits_ref = ray.put(bloom_bits)
 
     # candidate texts only: broadcast bloom, vectorized membership test —
     # the corpus streams once, nothing else shuffles text

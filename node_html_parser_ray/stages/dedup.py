@@ -36,6 +36,9 @@ __all__ = [
     "bloom_bits_for_ids",
     "bloom_or_blocks",
     "bloom_test_ids",
+    "bloom_position_rows",
+    "bloom_shard_dense",
+    "bloom_assemble_shards",
     "MINHASH_PERMS",
     "LSH_BANDS",
     "BLOOM_K",
@@ -583,3 +586,52 @@ def bloom_test_ids(bits: np.ndarray, ids: np.ndarray, m_bits: int) -> np.ndarray
         byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
         keep &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)) == 1
     return keep
+
+
+def bloom_position_rows(
+    ids: np.ndarray, m_bits: int, n_shards: int
+) -> "pa.Table":
+    """Sparse bloom build, stage 1: (bit_shard, pos) rows for a block's ids.
+
+    The scale path when ``blocks x m/8`` dense blooms would swamp the
+    driver: positions are pair-scale rows that SHUFFLE (groupby bit_shard),
+    and the driver later receives exactly m/8 bytes total — one dense
+    sub-array per contiguous bit range — independent of block count.
+    ``n_shards`` and ``m_bits`` must both be powers of two.
+    """
+    pos = np.concatenate(_bloom_positions(ids, m_bits)) if len(ids) else \
+        np.empty(0, np.uint64)
+    shard = (pos >> np.uint64((m_bits // n_shards).bit_length() - 1)).astype(
+        np.int32
+    )
+    return pa.Table.from_arrays(
+        [pa.array(shard, pa.int32()), pa.array(pos.view(np.int64), pa.int64())],
+        names=["bit_shard", "pos"],
+    )
+
+
+def bloom_shard_dense(group: "pd.DataFrame", m_bits: int, n_shards: int) -> "pd.DataFrame":
+    """Sparse bloom build, stage 2 (map_groups over bit_shard): set this
+    contiguous bit range's positions in a dense m/n_shards-bit sub-array."""
+    shard = int(group["bit_shard"].iloc[0])
+    span = m_bits // n_shards
+    rel = group["pos"].to_numpy().view(np.uint64) - np.uint64(shard * span)
+    bits = np.zeros(span // 8, dtype=np.uint8)
+    np.bitwise_or.at(
+        bits,
+        (rel >> np.uint64(3)).astype(np.int64),
+        (np.uint64(1) << (rel & np.uint64(7))).astype(np.uint8),
+    )
+    return pd.DataFrame({"bit_shard": [shard], "bloom": [bits.tobytes()]})
+
+
+def bloom_assemble_shards(rows: "list[dict]", m_bits: int, n_shards: int) -> np.ndarray:
+    """Concatenate dense sub-arrays (missing shards = all-zero) -> filter."""
+    span_bytes = m_bits // n_shards // 8
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        s = int(r["bit_shard"])
+        out[s * span_bytes : (s + 1) * span_bytes] = np.frombuffer(
+            r["bloom"], dtype=np.uint8
+        )
+    return out

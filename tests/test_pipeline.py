@@ -1011,6 +1011,52 @@ class TestMinhashVerified:
             assert (abs(df["jaccard"].to_numpy() - want) < 1e-12).all()
             assert (df["jaccard"] >= 0.7).all()
 
+    def test_sparse_bloom_equals_dense(self):
+        """The position-sharded bloom build (scale path) produces the exact
+        same filter as the dense per-block OR."""
+        import numpy as np
+
+        from node_html_parser_ray.stages import dedup
+
+        ids = np.array([3, 17, 99, 12345, 2**40 + 7, 0], dtype=np.int64)
+        m_bits = 1 << 16
+        dense = dedup.bloom_bits_for_ids(ids, m_bits)
+        for n_shards in (1, 4, 64):
+            pos = dedup.bloom_position_rows(ids, m_bits, n_shards).to_pandas()
+            rows = [
+                dedup.bloom_shard_dense(g, m_bits, n_shards).iloc[0].to_dict()
+                for _, g in pos.groupby("bit_shard")
+            ]
+            sparse = dedup.bloom_assemble_shards(rows, m_bits, n_shards)
+            assert (sparse == dense).all(), n_shards
+        # membership behaves identically
+        probe = np.array([3, 4, 99, 100, 2**40 + 7], dtype=np.int64)
+        assert (
+            dedup.bloom_test_ids(dense, probe, m_bits)
+            == dedup.bloom_test_ids(sparse, probe, m_bits)
+        ).all()
+
+    def test_verified_query_sparse_bloom_path(self, ray_session, monkeypatch):
+        """Forcing the sparse bloom build yields the identical verified-pair
+        output (the adaptive switch is transparent)."""
+        from node_html_parser_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            QUERIES["minhash_neardup_verified"](sf)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.setenv("NHPR_BLOOM_SPARSE", "1")
+        sparse = (
+            QUERIES["minhash_neardup_verified"](sf)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert base.equals(sparse)
+
     def test_pairwise_jaccard_basics(self):
         import pandas as pd
 
