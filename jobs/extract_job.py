@@ -58,6 +58,12 @@ def main() -> None:
     from node_html_parser_ray.sources import lance_io
 
     if lance_io.is_lance_dataset(args.input):
+        if not lance_io.HAS_LANCE:
+            # without the wheel the parquet fallback would try to parse
+            # .lance files as parquet and crash mid-job — refuse up front
+            print(json.dumps({"error": "input is a Lance dataset but the "
+                                       "lance package is not installed"}))
+            sys.exit(2)
         # a Lance dataset is one directory-granular shard (fragment lineage
         # is recorded by the manifest); file-level sharding applies to parquet
         files = [args.input]

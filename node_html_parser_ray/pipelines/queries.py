@@ -1505,8 +1505,11 @@ def q_minhash_neardup_verified(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         keep = dedup.bloom_test_ids(bits, ids, m_bits)
         out = batch.filter(pa.array(keep))
+        # null text must stay a CORPUS-side row downstream (attach_text
+        # classifies sides by text.isna()): coalesce to "" so a null-text
+        # doc admitted by the bloom can't crash the attach group
         return pa.Table.from_arrays(
-            [out.column("doc_id"), out.column("text"),
+            [out.column("doc_id"), pc.fill_null(out.column("text"), ""),
              pa.nulls(len(out), pa.int64()), pa.nulls(len(out), pa.int64())],
             names=["lookup", "text", "doc_a", "doc_b"],
         )
@@ -2172,7 +2175,10 @@ def q_sequence_packing(sf_dir: str):
             names=["doc_id", "n_tokens", "shard", "range_id"],
         )
 
-    tok = ds.map_batches(tokens_shard_range, batch_format="pyarrow")
+    # the (doc_id, n_tokens, shard, range_id) projection is ~32 B/row (no
+    # text); materialize it so the totals pass and the packing pass don't
+    # each re-read + re-tokenize the corpus (blocks spill if needed)
+    tok = ds.map_batches(tokens_shard_range, batch_format="pyarrow").materialize()
 
     # pass 1+2: per-range token totals (pre-aggregated in-batch, so the
     # groupby moves one row per (shard, range) per block) -> driver prefix
@@ -2193,18 +2199,21 @@ def q_sequence_packing(sf_dir: str):
     )
     tot_col = totals["sum(part_tok)"].astype("int64")
     offset = totals.groupby("shard")["sum(part_tok)"].cumsum().astype("int64") - tot_col
-    offsets = {
-        (int(s), int(r)): int(o)
-        for s, r, o in zip(totals["shard"], totals["range_id"], offset)
-    }
-    off_ref = ray.put(offsets)
+    # broadcast as SORTED parallel numpy arrays (zero-copy plasma reads in
+    # every group task — a dict would re-deserialize per group); composite
+    # key = shard << 44 | range_id (range_id < 2^44 at any real doc_id span)
+    key_arr = (
+        totals["shard"].to_numpy().astype(np.int64) << 44
+    ) | totals["range_id"].to_numpy().astype(np.int64)
+    srt = np.argsort(key_arr)
+    off_ref = ray.put((key_arr[srt], offset.to_numpy()[srt]))
 
     # pass 3: range-local packing with the carried-in global offset
     def pack_range(group: "pd.DataFrame") -> "pd.DataFrame":
         g = group.sort_values("doc_id")
-        off = ray.get(off_ref)[
-            (int(g["shard"].iloc[0]), int(g["range_id"].iloc[0]))
-        ]
+        keys, offs = ray.get(off_ref)
+        k = (int(g["shard"].iloc[0]) << 44) | int(g["range_id"].iloc[0])
+        off = int(offs[np.searchsorted(keys, k)])
         prior = off + g["n_tokens"].cumsum() - g["n_tokens"]
         g["pack_id"] = (prior // _PACK_BUDGET).astype("int64")
         out = g.groupby("pack_id", as_index=False).agg(

@@ -88,31 +88,30 @@ def xy_cut_order(boxes: np.ndarray, min_gap: float = 2.0) -> np.ndarray:
             return None
         return float((reach[g] + lo_s[g + 1]) / 2.0)
 
-    def recurse(idx: np.ndarray) -> None:
+    # explicit LIFO stack, not recursion: a page of ~1000 uniformly spaced
+    # lines peels one block per cut (argmax of equal gaps picks the first),
+    # which would blow Python's recursion limit
+    stack: list[np.ndarray] = [np.arange(n, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
         if len(idx) <= 1:
             order.extend(int(i) for i in idx)
-            return
+            continue
         b = boxes[idx]
         cut_y = best_gap(b[:, 1], b[:, 3])
         if cut_y is not None:
-            top = idx[b[:, 3] <= cut_y]
-            bot = idx[b[:, 3] > cut_y]
-            recurse(top)
-            recurse(bot)
-            return
+            stack.append(idx[b[:, 3] > cut_y])   # bottom (processed second)
+            stack.append(idx[b[:, 3] <= cut_y])  # top first
+            continue
         cut_x = best_gap(b[:, 0], b[:, 2])
         if cut_x is not None:
-            left = idx[b[:, 2] <= cut_x]
-            right = idx[b[:, 2] > cut_x]
-            recurse(left)
-            recurse(right)
-            return
+            stack.append(idx[b[:, 2] > cut_x])   # right second
+            stack.append(idx[b[:, 2] <= cut_x])  # left first
+            continue
         # total order on geometry (y0, x0, y1, x1) so the reading order is
         # input-order invariant even under (y0, x0) ties — found by fuzz
         leaf = idx[np.lexsort((b[:, 2], b[:, 3], b[:, 0], b[:, 1]))]
         order.extend(int(i) for i in leaf)
-
-    recurse(np.arange(n, dtype=np.int64))
     return np.asarray(order, dtype=np.int64)
 
 
@@ -253,10 +252,11 @@ class PdfExtractStage:
                 for i in on_page[perm]:
                     t = doc["texts"][int(i)]
                     parts.append(t)
-                    kinds.append("text")
-                    texts.append(t)
-                    refs.append("")
-                    total += 1
+                    if t:  # HTML-stage invariant: text spans are non-empty
+                        kinds.append("text")
+                        texts.append(t)
+                        refs.append("")
+                        total += 1
             offsets.append(total)
             joined = "".join(parts)
             n_pages_col.append(int(doc["n_pages"]))

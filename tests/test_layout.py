@@ -53,6 +53,18 @@ class TestXYCut:
     def test_empty(self):
         assert list(xy_cut_order(np.empty((0, 4)))) == []
 
+    def test_deep_page_no_recursion_limit(self):
+        """~2000 uniformly spaced lines peel one block per cut — the
+        explicit-stack implementation must not hit the recursion limit and
+        must return plain top-to-bottom order."""
+        n = 2000
+        boxes = np.stack([
+            np.zeros(n), np.arange(n) * 10.0,
+            np.full(n, 100.0), np.arange(n) * 10.0 + 5.0,
+        ], axis=1)
+        got = xy_cut_order(boxes)
+        assert got.tolist() == list(range(n))
+
 
 class TestXYCutFuzz:
     from hypothesis import given, settings
