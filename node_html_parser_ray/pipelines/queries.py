@@ -1769,20 +1769,23 @@ def q_interleaved_media_features(sf_dir: str):
     out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        doc_ids, kinds, refs = [], [], []
-        for did, row in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("spans").to_pylist()):
-            for s in row:
-                doc_ids.append(did)
-                kinds.append(s["kind"])
-                refs.append(s["media_ref"])
+        # vectorized: repeat doc_ids by span-list lengths, project the flat
+        # struct children — no Python loop over spans
+        spans_col = batch.column("spans").combine_chunks()
+        lengths = spans_col.value_lengths().to_numpy(zero_copy_only=False)
+        flat = spans_col.flatten()
+        doc_ids = batch.column("doc_id").combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lengths))
+        )
         return pa.Table.from_arrays(
-            [pa.array(doc_ids, pa.string()), pa.array(kinds, pa.string()),
-             pa.array(refs, pa.string())],
+            [doc_ids, flat.field("kind"), flat.field("media_ref")],
             names=["doc_id", "kind", "media_ref"],
         )
 
-    spans = out.map_batches(explode, batch_format="pyarrow")
+    # the exploded (doc_id, kind, media_ref) projection feeds BOTH the text
+    # rollup and the media decode path; materialize it so the extraction
+    # lineage doesn't execute twice (rows are ~tens of bytes, no text/html)
+    spans = out.map_batches(explode, batch_format="pyarrow").materialize()
 
     def media_rows(batch: pa.Table) -> pa.Table:
         m = batch.filter(pc.not_equal(batch.column("kind"), "text"))
@@ -1797,13 +1800,13 @@ def q_interleaved_media_features(sf_dir: str):
     )
 
     def media_partial(batch: pa.Table) -> pa.Table:
-        # doc_id rides inside the deterministic media_ref (media://DID/k)
-        doc_ids = [
-            r.split("//", 1)[1].split("/", 1)[0]
-            for r in batch.column("media_ref").to_pylist()
-        ]
+        # doc_id rides inside the deterministic media_ref (media://DID/k);
+        # vectorized split: ["media:", "", DID, k] -> element 2
+        doc_ids = pc.list_element(
+            pc.split_pattern(batch.column("media_ref"), "/"), 2
+        )
         t = pa.Table.from_arrays(
-            [pa.array(doc_ids, pa.string())], names=["doc_id"]
+            [pc.cast(doc_ids, pa.string())], names=["doc_id"]
         )
         g = t.group_by("doc_id").aggregate([("doc_id", "count")])
         g = g.rename_columns(["doc_id", "part_media"])
