@@ -64,8 +64,11 @@ def main() -> None:
             print(json.dumps({"error": "input is a Lance dataset but the "
                                        "lance package is not installed"}))
             sys.exit(2)
-        # a Lance dataset is one directory-granular shard (fragment lineage
-        # is recorded by the manifest); file-level sharding applies to parquet
+        # a Lance dataset runs as ONE shard: resume granularity is the whole
+        # dataset (a crash restarts it), unlike the parquet path's
+        # file-shard granularity.  Fragment-granular sharding needs the
+        # lance fragment-scanner API and is the production follow-up; the
+        # manifest already records output fragment ids per shard.
         files = [args.input]
     else:
         files = sorted(

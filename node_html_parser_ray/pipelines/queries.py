@@ -1619,8 +1619,7 @@ def q_pdf_extract(sf_dir: str):
             [
                 pa.array([int(d) for d in ids], pa.int64()),
                 pa.array(
-                    [layout.synthesize_fake_pdf(int(d), t or "")
-                     for d, t in zip(ids, texts)],
+                    [layout.synthesize_fake_pdf(t or "") for t in texts],
                     pa.large_binary(),
                 ),
             ],

@@ -295,12 +295,28 @@ def _crc32_many(
     n = len(starts)
     if not n:
         return np.empty(0, np.uint32)
+    out = np.empty(n, np.uint32)
+    # tokens above the threshold go to C-speed zlib per token: the column
+    # loop is O(max length) Python iterations, so ONE unbroken 1 MB blob
+    # (base64 / minified JS) would cost ~5000x the zlib path
+    long_mask = lens > 1024
+    if long_mask.any():
+        for i in np.nonzero(long_mask)[0]:
+            chunk = data[int(starts[i]) : int(starts[i] + lens[i])].tobytes()
+            out[i] = zlib.crc32(chunk[::-1] if reverse else chunk)
+        keep = np.nonzero(~long_mask)[0]
+        if not len(keep):
+            return out
+        starts, lens = starts[keep], lens[keep]
+    else:
+        keep = None
+    m0 = len(starts)
     order = np.argsort(-lens, kind="stable")
     s, L = starts[order].astype(np.int64), lens[order].astype(np.int64)
     asc = L[::-1]  # ascending view for the active-count searchsorted
-    crc = np.full(n, 0xFFFFFFFF, np.uint32)
-    for j in range(int(L[0])):
-        m = n - int(np.searchsorted(asc, j, side="right"))
+    crc = np.full(m0, 0xFFFFFFFF, np.uint32)
+    for j in range(int(L[0]) if m0 else 0):
+        m = m0 - int(np.searchsorted(asc, j, side="right"))
         if m == 0:
             break
         idx = s[:m] + (L[:m] - 1 - j) if reverse else s[:m] + j
@@ -308,8 +324,11 @@ def _crc32_many(
         c = crc[:m]
         crc[:m] = _CRC_TABLE[(c ^ b) & np.uint32(0xFF)] ^ (c >> np.uint32(8))
     crc ^= np.uint32(0xFFFFFFFF)
-    out = np.empty(n, np.uint32)
-    out[order] = crc
+    short_out = np.empty(m0, np.uint32)
+    short_out[order] = crc
+    if keep is None:
+        return short_out
+    out[keep] = short_out
     return out
 
 
@@ -370,16 +389,23 @@ def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
         fwd = _crc32_many(data, starts, lens, reverse=False)
         rev = _crc32_many(data, starts, lens, reverse=True)
         hs = (fwd.astype(np.uint64) << np.uint64(32)) | rev.astype(np.uint64)
-        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(
-            np.int32
-        )
-        # sentinel zero row so trailing empty segments index in-bounds
-        bits = np.vstack([bits, np.zeros((1, 64), np.int32)])
         seg = np.searchsorted(tok_doc, np.arange(n, dtype=np.int64))
         counts = np.diff(np.append(seg, T))
-        votes = np.add.reduceat(bits, seg, axis=0)[:n].astype(np.int64)
-        # reduceat returns bits[seg[d]] for empty segments — zero those docs
-        votes[counts == 0] = 0
+        # accumulate bit votes in token-axis chunks: the full (T, 64) bit
+        # matrix is ~770 B/token transient, and callers pass whole Ray
+        # blocks (batch_size=None) — tens of millions of tokens would need
+        # tens of GB.  Per chunk: expand bits, partial-reduce per doc run,
+        # add into the (n, 64) votes array.
+        votes = np.zeros((n, 64), dtype=np.int64)
+        CHUNK = 1 << 18
+        for t0 in range(0, T, CHUNK):
+            t1 = min(t0 + CHUNK, T)
+            bits = (
+                (hs[t0:t1, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
+            ).astype(np.int64)
+            local = tok_doc[t0:t1]
+            docs, first = np.unique(local, return_index=True)
+            votes[docs] += np.add.reduceat(bits, first, axis=0)
         votes = 2 * votes - counts[:, None]
         mask = (votes > 0).astype(np.uint8)
         out = np.ascontiguousarray(np.packbits(mask, axis=1)).view(np.int64).ravel()
@@ -465,9 +491,12 @@ def simhash_window_pairs(
         order = np.argsort(codes, kind="stable")
     codes, ids = codes[order], ids[order]
     # no-silent-caps: count buckets larger than window+1 (where the sliding
-    # window can truncate recall) so the cap is observable in worker logs
+    # window can truncate recall) so the cap is observable in worker logs.
+    # keys are ALREADY sorted here, so run lengths come from diff on change
+    # points — no extra sort in the hot verifier path
     if keys is not None:
-        _, bucket_sizes = np.unique(keys, return_counts=True)
+        change = np.flatnonzero(np.diff(keys)) + 1
+        bucket_sizes = np.diff(np.concatenate(([0], change, [len(keys)])))
     else:
         bucket_sizes = np.array([len(ids)])
     n_over = int((bucket_sizes > window + 1).sum())

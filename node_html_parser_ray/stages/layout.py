@@ -115,8 +115,8 @@ def xy_cut_order(boxes: np.ndarray, min_gap: float = 2.0) -> np.ndarray:
     return np.asarray(order, dtype=np.int64)
 
 
-def synthesize_fake_pdf(doc_id: int, text: str) -> bytes:
-    """Deterministic positioned-block container from (doc_id, text).
+def synthesize_fake_pdf(text: str) -> bytes:
+    """Deterministic positioned-block container from a document's text.
 
     The document's text is cut into ``_BLOCK_CHARS``-char blocks laid out
     in a two-column layout (3 rows per column per page, columns vertically

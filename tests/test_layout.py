@@ -99,7 +99,7 @@ class TestFakePdfContainer:
     def test_roundtrip_and_scrambled_storage(self):
         # 1500 chars of varying content -> 8 blocks, 2 pages
         text = "".join(f"{i:04d} " for i in range(300))
-        raw = synthesize_fake_pdf(7, text)
+        raw = synthesize_fake_pdf(text)
         doc = decode_fake_pdf(raw)
         assert doc["n_blocks"] == 8
         assert doc["n_pages"] == 2
@@ -115,7 +115,7 @@ class TestFakePdfContainer:
         tb = pa.table({
             "doc_id": pa.array(range(len(texts)), pa.int64()),
             "pdf": pa.array(
-                [synthesize_fake_pdf(i, t) for i, t in enumerate(texts)],
+                [synthesize_fake_pdf(t) for t in texts],
                 pa.large_binary()),
         })
         out = PdfExtractStage()(tb).to_pandas()
@@ -132,7 +132,7 @@ class TestFakePdfContainer:
         import zlib
 
         text = "".join(f"{i:04d} " for i in range(200))
-        doc = decode_fake_pdf(synthesize_fake_pdf(1, text))
+        doc = decode_fake_pdf(synthesize_fake_pdf(text))
         perm = xy_cut_order(doc["boxes"])
         joined = "".join(doc["texts"][int(i)] for i in perm)
         assert zlib.crc32(joined.encode()) == doc["crc"]
