@@ -22,6 +22,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "add_text_hash",
@@ -117,11 +118,31 @@ def minhash_signatures_batch(
     (a_p * h + b_p) mod M, where h is the shingle's exact 40-bit value
     (k=5 bytes pack losslessly — no shingle hash collisions at all).
 
-    No per-doc Python loop (round-1 verdict #5): the whole batch's utf-8
-    bytes are viewed zero-copy, all windows hashed in k vectorized passes,
-    deduped per doc with one ``np.unique`` over (doc_idx << 40 | shingle),
-    and reduced per permutation with ``np.minimum.reduceat``.
+    Memory contract: the window-hash temporaries are ~16 B per text byte,
+    and callers pass whole Ray blocks — so the batch is processed in
+    row-group chunks of ~8 MB of text (signatures are per-doc independent;
+    chunking cannot change them, pinned by the batch-split-invariance test).
     """
+    sizes = pc.fill_null(
+        pc.binary_length(batch.column(text_column)), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(sizes.sum())
+    budget = 8 << 20
+    if total > budget and len(batch) > 1:
+        cuts = np.searchsorted(
+            np.cumsum(sizes), np.arange(budget, total, budget)
+        )
+        bounds = np.unique(np.concatenate(([0], cuts + 1, [len(batch)])))
+        parts = [
+            _minhash_core(batch.slice(int(lo), int(hi - lo)), text_column, k)
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+        return pa.concat_tables(parts)
+    return _minhash_core(batch, text_column, k)
+
+
+def _minhash_core(batch: pa.Table, text_column: str, k: int) -> pa.Table:
     n = len(batch)
     sigs = np.empty((n, MINHASH_PERMS), dtype=np.uint64)
     data, offs = _utf8_flat(batch.column(text_column))
