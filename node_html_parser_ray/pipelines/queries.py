@@ -1387,7 +1387,13 @@ def q_minhash_neardup(sf_dir: str):
     ds = _docs(sf_dir).map_batches(
         lambda b: dedup.minhash_signatures_batch(b), batch_format="pyarrow"
     )
-    bands = ds.map_batches(dedup.lsh_band_rows, batch_format="pyarrow")
+    # band-shard count scales with the cluster (floor 1024 keeps per-shard
+    # groups task-sized on small clusters too — round-1 verdict #6 pattern)
+    bands = ds.map_batches(
+        dedup.lsh_band_rows,
+        fn_kwargs={"n_shards": max(1024, _coarse_shards())},
+        batch_format="pyarrow",
+    )
     # coarse-shard groupby: fixed group count, exact bucket co-location
     pairs = bands.groupby("band_shard").map_groups(
         dedup.shard_candidate_pairs, batch_format="pandas"
@@ -1665,9 +1671,11 @@ def q_simhash_neardup(sf_dir: str):
     from ray.data.aggregate import Min
 
     sim = _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    band_shards = max(1024, _coarse_shards())  # scales with the cluster
+
     # band rows carry the full code along so the verifier needs no join back
     def band_with_code(batch: pa.Table) -> pa.Table:
-        bands = dedup.simhash_band_rows(batch)
+        bands = dedup.simhash_band_rows(batch, n_shards=band_shards)
         codes = batch.column("simhash").combine_chunks()
         return bands.append_column("simhash", pa.concat_arrays([codes] * 4))
 

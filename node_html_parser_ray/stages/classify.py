@@ -17,8 +17,8 @@ from typing import Optional
 import pyarrow as pa
 
 from ..kernel.dom import ELEMENT_NODE, HTMLElement, is_block
-from ..kernel.extract import assemble_document
 from ..kernel.parser import parse
+from .extract_stage import htmls_from_batch
 
 __all__ = ["BoilerplateClassifier", "CLASSIFY_OUTPUT_SCHEMA"]
 
@@ -33,6 +33,9 @@ CLASSIFY_OUTPUT_SCHEMA = pa.schema(
 )
 
 _BOILERPLATE_TAGS = frozenset(("nav", "header", "footer", "aside", "form"))
+# containers are never scored — a wrapped document would otherwise classify
+# <html>/<body> as ONE whole-page region and stripping becomes a no-op
+_STRUCTURAL_TAGS = frozenset(("html", "body", "head"))
 
 
 def _block_features(el: HTMLElement) -> tuple[int, int, int]:
@@ -69,29 +72,52 @@ class BoilerplateClassifier:
         self.options = options
 
     def _classify_doc(self, root: HTMLElement) -> tuple[str, int, int]:
+        """Decision regions are LEAF blocks (block elements with no direct
+        block-element child); wrappers descend, classifications stop descent.
+
+        Rules, in order per element:
+
+        1. structural containers (html/body/head) descend, never scored —
+           otherwise a wrapped page is one whole-document "content" region
+           and boilerplate stripping is a no-op;
+        2. boilerplate-tagged blocks (nav/header/footer/aside/form) count
+           boilerplate and are NOT descended — content-dense text inside a
+           footer must not leak into main_text;
+        3. blocks with a direct block child are wrappers: descend unscored
+           (their leaf blocks are the decisions);
+        4. leaf blocks score by text length / link density and stop.
+
+        Scored subtrees are disjoint, so feature extraction touches every
+        node at most once — the walk is linear in document size (the
+        previous top-down re-walk was O(depth x subtree) on nested divs).
+        """
         content_parts: list[str] = []
         n_content = 0
         n_boiler = 0
-        # candidate regions: maximal block elements (block elements whose
-        # parent chain up to root contains no smaller enclosing decision);
-        # we walk top-down and stop descending once a block is classified.
         stack = [c for c in reversed(root.child_nodes) if c.node_type == ELEMENT_NODE]
         while stack:
             el = stack.pop()
-            if is_block(el):
-                text_len, link_len, n_el = _block_features(el)
-                link_density = (link_len / text_len) if text_len else 1.0
-                if el.tag_name.lower() in _BOILERPLATE_TAGS:
+            tag = el.tag_name.lower()
+            if is_block(el) and tag not in _STRUCTURAL_TAGS:
+                if tag in _BOILERPLATE_TAGS:
                     n_boiler += 1
-                elif text_len >= self.min_text_len and link_density <= self.max_link_density:
-                    # content region: take its structured text, do not descend
-                    st = el.structured_text
-                    if st:
-                        content_parts.append(st)
-                    n_content += 1
                     continue
-                else:
-                    n_boiler += 1
+                has_block_child = any(
+                    c.node_type == ELEMENT_NODE and is_block(c)
+                    for c in el.child_nodes
+                )
+                if not has_block_child:
+                    text_len, link_len, _ = _block_features(el)
+                    link_density = (link_len / text_len) if text_len else 1.0
+                    if (text_len >= self.min_text_len
+                            and link_density <= self.max_link_density):
+                        st = el.structured_text
+                        if st:
+                            content_parts.append(st)
+                        n_content += 1
+                    else:
+                        n_boiler += 1
+                    continue
             stack.extend(
                 c for c in reversed(el.child_nodes) if c.node_type == ELEMENT_NODE
             )
@@ -99,18 +125,7 @@ class BoilerplateClassifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        if "spans" in batch.column_names:
-            htmls = [
-                assemble_document(
-                    [s["kind"] for s in row],
-                    [s["text"] for s in row],
-                    [s["media_ref"] for s in row],
-                    [s["offset"] for s in row],
-                )[0]
-                for row in batch.column("spans").to_pylist()
-            ]
-        else:
-            htmls = batch.column("html").to_pylist()
+        htmls = htmls_from_batch(batch)
         out_text: list[str] = []
         out_nc: list[int] = []
         out_nb: list[int] = []

@@ -565,10 +565,12 @@ def pairwise_jaccard(
     """
     out = np.empty(len(texts_a), dtype=np.float64)
     for i, (a, b) in enumerate(zip(texts_a, texts_b)):
-        # NaN-safe: a missing text (failed attach surfaces as float NaN in
-        # pandas) degrades to jaccard 0.0 instead of crashing the verifier
-        a = a if isinstance(a, str) else ""
-        b = b if isinstance(b, str) else ""
+        # a MISSING side (failed attach surfaces as float NaN in pandas) is
+        # jaccard 0.0 outright — coalescing to "" would score the pair 1.0
+        # ({''} == {''}) and emit a false verified duplicate
+        if not isinstance(a, str) or not isinstance(b, str):
+            out[i] = 0.0
+            continue
         sa = {a[j : j + k] for j in range(max(len(a) - k + 1, 1))}
         sb = {b[j : j + k] for j in range(max(len(b) - k + 1, 1))}
         union = len(sa | sb)

@@ -31,6 +31,8 @@ __all__ = [
     "OUTPUT_SCHEMA",
     "extract_batch",
     "make_extract_batch",
+    "decode_spans_batch",
+    "htmls_from_batch",
     "partition_ids",
     "add_partition_column",
 ]
@@ -64,16 +66,18 @@ OUTPUT_SCHEMA = pa.schema(
 )
 
 
-def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
-    """Parse + extract every document in an Arrow batch.
+def decode_spans_batch(
+    batch: pa.Table,
+) -> tuple[list[int], list[str], list[str], list[str], list[int]]:
+    """Flat-array decode of an interleaved (doc_id, spans) OR (doc_id, html)
+    batch -> (row_offsets, kinds, texts, media_refs, offsets).
 
-    Accepts either the interleaved input schema (doc_id, spans) or a plain
-    (doc_id, html) schema where the whole payload is one html span.
+    One to_pylist per child column instead of a Python dict per span
+    (list<struct> to_pylist is 2-3x slower); NULL lists and NULL struct
+    fields coalesce to ""/0.  Shared by the extraction, classifier and
+    selector stages so every spans consumer gets the fast, null-safe path.
     """
-    doc_ids = batch.column("doc_id").to_pylist()
     if "spans" in batch.column_names:
-        # flat-array decode: one to_pylist per child column instead of a
-        # Python dict per span (list<struct> to_pylist is 2-3x slower)
         spans_col = batch.column("spans").combine_chunks()
         # value_lengths (not .offsets) stays correct for sliced arrays
         lengths = spans_col.value_lengths().to_pylist()
@@ -81,7 +85,6 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         for n in lengths:
             row_offsets.append(row_offsets[-1] + (n or 0))
         flat = spans_col.flatten()
-        # coalesce NULL struct fields once, outside the per-doc loop
         f_kind = flat.field("kind").to_pylist()
         f_text = flat.field("text").to_pylist()
         f_ref = flat.field("media_ref").to_pylist()
@@ -101,6 +104,29 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         f_text = [h or "" for h in html_col]
         f_ref = [""] * len(html_col)
         f_off = [0] * len(html_col)
+    return row_offsets, f_kind, f_text, f_ref, f_off
+
+
+def htmls_from_batch(batch: pa.Table) -> list[str]:
+    """Assembled HTML string per row (media spans become placeholder tags)
+    for stages that parse whole documents (classifier, selector stages)."""
+    row_offsets, f_kind, f_text, f_ref, f_off = decode_spans_batch(batch)
+    return [
+        assemble_document(
+            f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
+        )[0]
+        for lo, hi in zip(row_offsets[:-1], row_offsets[1:])
+    ]
+
+
+def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
+    """Parse + extract every document in an Arrow batch.
+
+    Accepts either the interleaved input schema (doc_id, spans) or a plain
+    (doc_id, html) schema where the whole payload is one html span.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    row_offsets, f_kind, f_text, f_ref, f_off = decode_spans_batch(batch)
 
     # flat builders for the list<struct> output column; the kernel emits
     # spans straight into these (extract_spans_into — no per-span tuple or
@@ -215,9 +241,15 @@ def add_partition_column(
     if "metrics" in batch.column_names:
         sizes = batch.column("metrics").combine_chunks().field("n_bytes").to_pylist()
     elif "spans" in batch.column_names:
+        # null-tolerant like extract_batch: a null span list or null
+        # kind/text field routes the doc by size 0, never kills the task
         sizes = []
         for row in batch.column("spans").to_pylist():
-            sizes.append(sum(len(s["text"]) for s in row if s["kind"] == "html"))
+            sizes.append(sum(
+                len(s["text"] or "")
+                for s in (row or [])
+                if (s["kind"] or "") == "html"
+            ))
     else:
         sizes = [0] * len(doc_ids)
     pids = [

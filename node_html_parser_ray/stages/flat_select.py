@@ -27,8 +27,8 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernel.extract import assemble_document
 from ..kernel.jsregex import S as _JS_WS_CLASS
+from .extract_stage import htmls_from_batch
 from ..kernel.parser import parse
 from ..kernel.selector import _ATTR_SELECTOR_RE, _SELECTOR_PART_RE
 
@@ -117,18 +117,7 @@ def _attr_op_mask(col, key: str, op: str, value: str):
 def explode_nodes_batch(batch: pa.Table) -> pa.Table:
     """Parse each document and emit its flattened nodes as table rows."""
     doc_ids = batch.column("doc_id").to_pylist()
-    if "spans" in batch.column_names:
-        htmls = [
-            assemble_document(
-                [s["kind"] for s in row],
-                [s["text"] for s in row],
-                [s["media_ref"] for s in row],
-                [s["offset"] for s in row],
-            )[0]
-            for row in batch.column("spans").to_pylist()
-        ]
-    else:
-        htmls = batch.column("html").to_pylist()
+    htmls = htmls_from_batch(batch)
 
     out_doc: list[str] = []
     out_nid: list[int] = []

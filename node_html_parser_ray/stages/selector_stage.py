@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 
 import pyarrow as pa
 
-from ..kernel.extract import assemble_document
+from .extract_stage import htmls_from_batch
 from ..kernel.parser import parse
 from ..kernel.selector import Matcher, _explore_all
 
@@ -78,19 +78,7 @@ class SelectorStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        if "spans" in batch.column_names:
-            span_rows = batch.column("spans").to_pylist()
-            htmls = [
-                assemble_document(
-                    [s["kind"] for s in row],
-                    [s["text"] for s in row],
-                    [s["media_ref"] for s in row],
-                    [s["offset"] for s in row],
-                )[0]
-                for row in span_rows
-            ]
-        else:
-            htmls = batch.column("html").to_pylist()
+        htmls = htmls_from_batch(batch)
 
         out_doc: list[str] = []
         out_sel: list[str] = []

@@ -237,12 +237,18 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, column: str = "embedding",
                init: np.ndarray = None):
     """Distributed spherical k-means over a Dataset (Lloyd's iterations).
 
-    Each iteration is one streaming pass: ``map_batches(kmeans_partial)``
-    -> groupby(cell) list-sum on the driver over <= k x n_blocks compact
-    rows.  Returns (centroids, counts, inertia_proxy).
+    ``init`` (k x dim seed centroids) is required — callers sample it from
+    one row-group (see q_kmeans_clusters).  Each iteration is one streaming
+    pass: ``map_batches(kmeans_partial)`` -> groupby(cell) list-sum on the
+    driver over <= k x n_blocks compact rows.  Returns (centroids, counts).
     """
     import ray
 
+    if init is None:
+        raise ValueError(
+            "kmeans_fit requires init centroids (sample them from one "
+            "row-group of the input; see q_kmeans_clusters)"
+        )
     centroids = _normalize(np.asarray(init, dtype=np.float32))
     counts = np.zeros(len(centroids), dtype=np.int64)
     for _ in range(iters):
@@ -266,7 +272,6 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, column: str = "embedding",
     return centroids, counts
 
 
-_HP_RNG = np.random.RandomState(1234)
 _HP_CACHE: dict[tuple[int, int], np.ndarray] = {}
 
 

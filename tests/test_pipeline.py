@@ -234,6 +234,36 @@ class TestStatefulStages:
         assert row["n_content_blocks"] >= 1
         assert row["n_boilerplate_blocks"] >= 2
 
+    def test_boilerplate_wrapped_document(self, ray_session):
+        """html/body wrappers are structural: stripping must still separate
+        nav/footer from the article on a realistically wrapped page, and
+        content nested inside a footer must NOT leak into main_text."""
+        import ray
+
+        from node_html_parser_ray.stages.classify import BoilerplateClassifier
+
+        html = (
+            "<html><body>"
+            '<nav><a href="/">home</a><a href="/a">about</a></nav>'
+            "<article><p>" + ("real article words here " * 10) + "</p></article>"
+            "<footer><div>"
+            + ("long legal disclaimer text inside the footer " * 5)
+            + "</div></footer>"
+            "</body></html>"
+        )
+        table = pa.Table.from_arrays(
+            [pa.array(["d1"], pa.string()), pa.array([html], pa.large_string())],
+            names=["doc_id", "html"],
+        )
+        row = ray.data.from_arrow(table).map_batches(
+            BoilerplateClassifier, batch_format="pyarrow", concurrency=1
+        ).take_all()[0]
+        assert "real article words" in row["main_text"]
+        assert "home" not in row["main_text"]
+        assert "disclaimer" not in row["main_text"]  # footer never descends
+        assert row["n_content_blocks"] == 1
+        assert row["n_boilerplate_blocks"] == 2  # nav + footer, counted once
+
 
 class TestDedupStages:
     def test_exact_dedup_groups(self, ray_session):
