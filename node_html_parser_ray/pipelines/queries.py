@@ -100,7 +100,7 @@ def _wrap_html_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     htmls = [
-        f'<div class="c">{t}</div><img src="/img/{d}.png" alt="">'
+        f'<div class="c">{t or ""}</div><img src="/img/{d}.png" alt="">'
         for d, t in zip(doc_ids, texts)
     ]
     return pa.Table.from_arrays(
@@ -119,7 +119,7 @@ def _interleaved_batch(batch: pa.Table) -> pa.Table:
         did = str(d)
         n_media = int(d) % 3
         spans = [
-            {"kind": "html", "text": f'<section><h1>t{did}</h1><p>{t}</p>', "media_ref": "", "offset": 0},
+            {"kind": "html", "text": f'<section><h1>t{did}</h1><p>{t or ""}</p>', "media_ref": "", "offset": 0},
         ]
         off = 1
         for k in range(n_media):
@@ -150,8 +150,10 @@ def q_structured_text(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id")
         texts = batch.column("text").to_pylist()
+        # null text reads as empty doc on BOTH sides (oracle COALESCEs)
         out = [
-            "\n".join(s[1] for s in extract_spans_fast(t)[0]) for t in texts
+            "\n".join(s[1] for s in extract_spans_fast(t or "")[0])
+            for t in texts
         ]
         return pa.Table.from_arrays(
             [doc_ids, pa.array(out, pa.string())], names=["doc_id", "s_text"]
@@ -185,7 +187,7 @@ def q_text_spans(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        htmls = [f"<p>{t}</p><p>tail</p>" for t in texts]
+        htmls = [f"<p>{t or ''}</p><p>tail</p>" for t in texts]
         wrapped = pa.Table.from_arrays(
             [pa.array([str(d) for d in doc_ids], pa.string()),
              pa.array(htmls, pa.large_string())],
@@ -284,7 +286,12 @@ def q_events_hourly(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["event_type", "window_start", "n_events", "sum_raw"])
-        milli = pc.cast(pc.round(pc.multiply(batch.column("sum_raw"), 1000.0)), pa.int64())
+        # half-AWAY like DuckDB ROUND (pc.round is half-to-even; repo
+        # convention: floor(x*scale + 0.5) for non-negative sums)
+        milli = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("sum_raw"), 1000.0), 0.5)),
+            pa.int64(),
+        )
         ws = pc.strftime(batch.column("window_start"), format="%Y-%m-%d %H:%M:%S")
         return pa.Table.from_arrays(
             [batch.column("event_type"), ws, pc.cast(batch.column("n_events"), pa.int64()), milli],
@@ -432,7 +439,9 @@ def q_orders_by_nation(sf_dir: str):
         lookup = ray.get(ref)
         custkeys = batch.column("o_custkey").to_pylist()
         prices = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
-        nations = [lookup.get(c, "") for c in custkeys]
+        # unmatched custkeys get None -> pandas groupby drops the NaN key,
+        # matching the oracle's INNER JOIN (a "" default kept a ghost group)
+        nations = [lookup.get(c) for c in custkeys]
         df = pd.DataFrame({"n_name": nations, "price": prices})
         g = df.groupby("n_name", as_index=False).agg(
             part_n=("price", "size"), part_sum=("price", "sum")
@@ -455,7 +464,11 @@ def q_orders_by_nation(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["n_name", "n_orders", "sum_raw"])
-        milli = pc.cast(pc.round(pc.multiply(batch.column("sum_raw"), 100.0)), pa.int64())
+        # half-AWAY like DuckDB ROUND (pc.round is half-to-even)
+        milli = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("sum_raw"), 100.0), 0.5)),
+            pa.int64(),
+        )
         return pa.Table.from_arrays(
             [
                 batch.column("n_name"),
@@ -1265,7 +1278,7 @@ def q_dom_api(sf_dir: str):
         n_json_children = []
         n_after_ws = []
         for d, t in zip(doc_ids, texts):
-            html = f'<div id="d{d}" class="a b"> {t} <span>x</span> <!--c--> </div>'
+            html = f'<div id="d{d}" class="a b"> {t or ""} <span>x</span> <!--c--> </div>'
             root = parse(html, {"comment": True})
             n_struct_lines.append(len(root.first_child.structure.splitlines()))
             n_json_children.append(len(root.to_json()["children"]))
@@ -1353,7 +1366,7 @@ def q_boilerplate(sf_dir: str):
         texts = batch.column("text").to_pylist()
         htmls = [
             '<nav><a href="/">home</a><a href="/x">links</a></nav>'
-            f'<article><p>{t}</p></article>'
+            f'<article><p>{t or ""}</p></article>'
             '<footer><a href="/c">contact</a></footer>'
             for t in texts
         ]
@@ -2173,7 +2186,9 @@ def q_sequence_packing(sf_dir: str):
     def tokens_shard_range(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id")
         n_tok = pc.cast(
-            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+            pc.count_substring_regex(
+                pc.fill_null(batch.column("text"), ""), r"\S+"
+            ), pa.int64()
         )
         shard = pc.cast(
             pc.bit_wise_and(doc_id, pa.scalar(_PACK_SHARDS - 1, pa.int64())),
@@ -2350,7 +2365,11 @@ def q_repetition_score(sf_dir: str):
     )
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        # null text -> "" so list lengths stay int (a null list surfaces as
+        # NaN lengths and crashes np.repeat); oracle COALESCEs identically
+        toks = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+"
+        )
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = toks.combine_chunks().flatten()
         words = np.asarray(flat.to_pylist(), dtype=object)
@@ -2662,7 +2681,7 @@ ORACLE_SQL = {
     "structured_text": r"""
         SELECT doc_id,
                regexp_replace(
-                 trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                 trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
                  '[ \t\n\r\x0b\x0c]{2,}', ' ', 'g') AS s_text
         FROM documents
     """,
@@ -2672,9 +2691,9 @@ ORACLE_SQL = {
     """,
     "text_spans": r"""
         SELECT doc_id,
-               CAST(CASE WHEN regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+               CAST(CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
                     THEN 1 ELSE 2 END AS BIGINT) AS n_text_spans,
-               CASE WHEN regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+               CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
                     THEN 'tail'
                     ELSE regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g')
                END AS first_span
@@ -2703,11 +2722,11 @@ ORACLE_SQL = {
     "lang_id": r"""
         WITH scores AS (
           SELECT doc_id,
-            CAST(length(regexp_extract_all(text, '\b(the|and|of|to|is|that|with|for)\b')) AS BIGINT) AS s_en,
-            CAST(length(regexp_extract_all(text, '\b(le|la|les|des|une?|est|avec|pour)\b')) AS BIGINT) AS s_fr,
-            CAST(length(regexp_extract_all(text, '\b(der|die|das|und|ist|mit|für|ein)\b')) AS BIGINT) AS s_de,
-            CAST(length(regexp_extract_all(text, '\b(el|los|las|una?|es|con|para|que)\b')) AS BIGINT) AS s_es,
-            CAST(length(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+            CAST(length(regexp_extract_all(COALESCE(text, ''), '\b(the|and|of|to|is|that|with|for)\b')) AS BIGINT) AS s_en,
+            CAST(length(regexp_extract_all(COALESCE(text, ''), '\b(le|la|les|des|une?|est|avec|pour)\b')) AS BIGINT) AS s_fr,
+            CAST(length(regexp_extract_all(COALESCE(text, ''), '\b(der|die|das|und|ist|mit|für|ein)\b')) AS BIGINT) AS s_de,
+            CAST(length(regexp_extract_all(COALESCE(text, ''), '\b(el|los|las|una?|es|con|para|que)\b')) AS BIGINT) AS s_es,
+            CAST(length(regexp_extract_all(COALESCE(text, ''), '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
           FROM documents)
         SELECT doc_id,
                CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
@@ -2721,7 +2740,7 @@ ORACLE_SQL = {
     """,
     "exact_dedup": """
         SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
-        FROM documents GROUP BY text
+        FROM documents GROUP BY COALESCE(text, '')
     """,
     "events_hourly": """
         SELECT event_type,
@@ -2745,14 +2764,15 @@ ORACLE_SQL = {
         SELECT d.doc_id,
                EXISTS (SELECT 1 FROM documents b
                        WHERE b.doc_id < 10
+                         AND b.text IS NOT NULL AND b.text <> ''
                          AND position(substr(b.text, 1, 32) IN d.text) > 0)
                  AS contaminated
         FROM documents d
     """,
     "repetition_score": r"""
         SELECT doc_id,
-               CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
-               CAST(length(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_words,
+               CAST(length(list_distinct(regexp_extract_all(COALESCE(text, ''), '\S+'))) AS BIGINT)
                  AS n_distinct_words
         FROM documents
     """,
@@ -2765,7 +2785,7 @@ ORACLE_SQL = {
     "sequence_packing": r"""
         WITH t AS (
           SELECT doc_id, doc_id % 16 AS shard,
-                 CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                 CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tokens
           FROM documents),
         c AS (
           SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
@@ -2828,16 +2848,23 @@ ORACLE_SQL = {
     """,
     "extract_interleaved": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CAST(3 + doc_id % 3 AS BIGINT) AS n_spans,
+               -- empty/whitespace-only text yields no <p> text span
+               CAST(CASE WHEN trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+                         THEN 2 ELSE 3 END + doc_id % 3 AS BIGINT) AS n_spans,
                TRUE AS valid,
                CAST(0 AS BIGINT) AS n_fixups
         FROM documents
     """,
     "dom_api": """
         SELECT doc_id,
-               CAST(4 AS BIGINT) AS n_structure_lines,
+               CAST(CASE WHEN trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+                         THEN 3 ELSE 4 END AS BIGINT) AS n_structure_lines,
                CAST(1 AS BIGINT) AS n_json_children,
-               CAST(3 AS BIGINT) AS n_children_after_rw
+               -- trim_right('x') truncates the div after the first text
+               -- child containing 'x'; empty/ws text drops the text child
+               CAST(CASE WHEN position('x' IN COALESCE(text, '')) > 0 THEN 1
+                         WHEN trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+                         THEN 2 ELSE 3 END AS BIGINT) AS n_children_after_rw
         FROM documents
     """,
     "selectors": """
@@ -2856,8 +2883,10 @@ ORACLE_SQL = {
     """,
     "boilerplate": """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CAST(1 AS BIGINT) AS n_content_blocks,
-               CAST(2 AS BIGINT) AS n_boilerplate_blocks
+               CAST(CASE WHEN length(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) >= 25
+                         THEN 1 ELSE 0 END AS BIGINT) AS n_content_blocks,
+               CAST(CASE WHEN length(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) >= 25
+                         THEN 2 ELSE 3 END AS BIGINT) AS n_boilerplate_blocks
         FROM documents
     """,
     "validation_pass_rate": """

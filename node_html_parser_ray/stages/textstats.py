@@ -83,9 +83,9 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     """Heuristic language-ID: argmax of per-language marker-hit counts.
 
     Vectorized: one regex count pass per language profile, numpy argmax.
-    Documents with zero hits everywhere get ``und``.
+    Documents with zero hits everywhere (including null text) get ``und``.
     """
-    text = batch.column("text")
+    text = pc.fill_null(batch.column("text"), "")
     scores = np.stack(
         [
             pc.count_substring_regex(text, pattern).to_numpy(zero_copy_only=False)
