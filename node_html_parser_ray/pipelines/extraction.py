@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import pyarrow.parquet as pq
-
 from ..sources import lance_io
 from ..stages.extract_stage import add_partition_column, make_extract_batch
 from ..state.manifest import ShardManifest
@@ -34,9 +32,9 @@ def build_extraction_dataset(
     with_partition_column: bool = False,
 ):
     """Lazy Dataset: interleaved docs -> extracted spans (streaming)."""
-    import ray
-
-    ds = ray.data.read_parquet(input_path)
+    # same source routing as run_checkpointed: Lance dataset dirs go through
+    # read_lance when available, everything else read_parquet
+    ds = lance_io.read_documents(input_path)
     ds = ds.map_batches(
         make_extract_batch(options),
         batch_format="pyarrow",
@@ -51,30 +49,43 @@ def build_extraction_dataset(
     return ds
 
 
+_METRIC_FIELDS = ("n_nodes", "n_fixups", "n_bytes", "n_spans")
+
+
 def _aggregate_shard_metrics(shard_out_dir: str, backend: str = "parquet") -> dict:
-    """Column-pruned metrics read-back from written output (cheap)."""
-    if backend == "lance" and lance_io.HAS_LANCE:
-        table = lance_io.lance.dataset(shard_out_dir).to_table(
-            columns=["valid", "metrics"]
-        )
-    else:
-        table = pq.read_table(shard_out_dir, columns=["valid", "metrics"])
-    metrics = table.column("metrics")
+    """Column-pruned, DISTRIBUTED metrics rollup of a written shard.
+
+    Per-batch partial sums stream through ``map_batches``; the driver only
+    collects one tiny row per block.  (A direct table read would
+    materialize the shard's rows on the driver — O(corpus/shard_count) at
+    the 10^12-doc target, a driver OOM before the shard could commit.)
+    ``read_documents`` routes Lance datasets through ``read_lance`` when
+    the wheel is present and falls back to parquet otherwise.
+    """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    def s(field):
-        return pc.sum(metrics.combine_chunks().field(field)).as_py() or 0
+    ds = lance_io.read_documents(shard_out_dir, columns=["valid", "metrics"])
 
-    n_valid = pc.sum(pc.cast(table.column("valid"), "int64")).as_py() or 0
-    return {
-        "n_docs": len(table),
-        "n_valid": n_valid,
-        "n_invalid": len(table) - n_valid,
-        "n_nodes": s("n_nodes"),
-        "n_fixups": s("n_fixups"),
-        "n_bytes": s("n_bytes"),
-        "n_spans": s("n_spans"),
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("metrics").combine_chunks()
+        row = {
+            "n_docs": [len(batch)],
+            "n_valid": [
+                pc.sum(pc.cast(batch.column("valid"), "int64")).as_py() or 0
+            ],
+        }
+        for f in _METRIC_FIELDS:
+            row[f] = [pc.sum(m.field(f)).as_py() or 0]
+        return pa.Table.from_pydict(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = {
+        k: sum(int(r[k]) for r in parts)
+        for k in ("n_docs", "n_valid", *_METRIC_FIELDS)
     }
+    tot["n_invalid"] = tot["n_docs"] - tot["n_valid"]
+    return tot
 
 
 def run_checkpointed(

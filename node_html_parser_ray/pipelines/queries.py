@@ -46,7 +46,7 @@ def _pool(frac: int = 4) -> tuple[int, int]:
     return (1, max(2, cpus // frac))
 
 
-def _coarse_shards(multiple: int = 4) -> int:
+def _coarse_shards(multiple: int = 4, floor: int = 1) -> int:
     """Power-of-two coarse-shard count scaled to the cluster.
 
     Coarse-keyed ``groupby().map_groups`` stages (sessions, sliding window,
@@ -56,7 +56,8 @@ def _coarse_shards(multiple: int = 4) -> int:
     per-shard size ~ input / (multiple x cpus); on a real multi-node
     cluster the CPU total reflects every node.  Power of two so the shard
     key is a bit-mask.  ``NHPR_COARSE_SHARDS`` overrides for the
-    shard-count-invariance tests.
+    shard-count-invariance tests (and is honored unclamped — ``floor`` only
+    raises the computed default, e.g. the LSH band shards' 1024 minimum).
     """
     env = os.environ.get("NHPR_COARSE_SHARDS")
     if env:
@@ -76,7 +77,19 @@ def _coarse_shards(multiple: int = 4) -> int:
     n = 1
     while n < cpus * multiple:
         n <<= 1
-    return n
+    return max(n, floor)
+
+
+def _shard_col(col, n_shards: int) -> "pa.Array":
+    """int32 coarse shard of a non-negative int64 key column.
+
+    ``n_shards`` must be a power of two (callers use :func:`_coarse_shards`)
+    — ONE implementation so the mask/cast idiom can't drift between the
+    seven groupby stages that shard this way.
+    """
+    return pc.cast(
+        pc.bit_wise_and(col, pa.scalar(n_shards - 1, pa.int64())), pa.int32()
+    )
 
 
 def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
@@ -497,12 +510,7 @@ def q_sessions(sf_dir: str):
     )
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        shard = pc.cast(
-            pc.bit_wise_and(
-                batch.column("user_id"), pa.scalar(n_shards - 1, pa.int64())
-            ),
-            pa.int32(),
-        )
+        shard = _shard_col(batch.column("user_id"), n_shards)
         return batch.append_column("user_shard", shard)
 
     def sessionize(group: pd.DataFrame) -> pd.DataFrame:
@@ -776,11 +784,7 @@ def q_segment_order_revenue(sf_dir: str):
         )
 
     def orders_tag(batch: pa.Table) -> pa.Table:
-        shard = pc.cast(
-            pc.bit_wise_and(batch.column("o_orderkey"),
-                            pa.scalar(n_shards - 1, pa.int64())),
-            pa.int32(),
-        )
+        shard = _shard_col(batch.column("o_orderkey"), n_shards)
         return pa.Table.from_arrays(
             [batch.column("o_orderkey"),
              pa.nulls(len(batch), pa.int64()),
@@ -921,9 +925,7 @@ def q_asof_last_order(sf_dir: str):
 
     def tag_events(batch: pa.Table) -> pa.Table:
         key = pc.add(batch.column("user_id"), pa.scalar(1, pa.int64()))
-        shard = pc.cast(
-            pc.bit_wise_and(key, pa.scalar(n_shards - 1, pa.int64())), pa.int32()
-        )
+        shard = _shard_col(key, n_shards)
         return pa.Table.from_arrays(
             [batch.column("event_id"), key, batch.column("ts"), shard,
              pa.array([True] * len(batch), pa.bool_())],
@@ -1046,12 +1048,7 @@ def q_sliding_window(sf_dir: str):
     )
 
     def add_shard(batch: pa.Table) -> pa.Table:
-        shard = pc.cast(
-            pc.bit_wise_and(
-                batch.column("user_id"), pa.scalar(n_shards - 1, pa.int64())
-            ),
-            pa.int32(),
-        )
+        shard = _shard_col(batch.column("user_id"), n_shards)
         return batch.append_column("user_shard", shard)
 
     def windowed(group: "pd.DataFrame") -> "pd.DataFrame":
@@ -1404,7 +1401,7 @@ def q_minhash_neardup(sf_dir: str):
     # groups task-sized on small clusters too — round-1 verdict #6 pattern)
     bands = ds.map_batches(
         dedup.lsh_band_rows,
-        fn_kwargs={"n_shards": max(1024, _coarse_shards())},
+        fn_kwargs={"n_shards": _coarse_shards(floor=1024)},
         batch_format="pyarrow",
     )
     # coarse-shard groupby: fixed group count, exact bucket co-location
@@ -1558,11 +1555,7 @@ def q_minhash_neardup_verified(sf_dir: str):
     both = corpus_side.union(pair_side)
 
     def add_doc_shard(batch: pa.Table) -> pa.Table:
-        shard = pc.cast(
-            pc.bit_wise_and(batch.column("lookup"),
-                            pa.scalar(n_shards - 1, pa.int64())),
-            pa.int32(),
-        )
+        shard = _shard_col(batch.column("lookup"), n_shards)
         return batch.append_column("doc_shard", shard)
 
     def attach_text(group: "pd.DataFrame") -> "pd.DataFrame":
@@ -1585,9 +1578,7 @@ def q_minhash_neardup_verified(sf_dir: str):
             pc.multiply(batch.column("doc_a"), pa.scalar(1_000_003, pa.int64())),
             batch.column("doc_b"),
         )
-        shard = pc.cast(
-            pc.bit_wise_and(key, pa.scalar(n_shards - 1, pa.int64())), pa.int32()
-        )
+        shard = _shard_col(key, n_shards)
         return batch.append_column("pair_shard", shard)
 
     def verify(group: "pd.DataFrame") -> "pd.DataFrame":
@@ -1684,7 +1675,7 @@ def q_simhash_neardup(sf_dir: str):
     from ray.data.aggregate import Min
 
     sim = _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
-    band_shards = max(1024, _coarse_shards())  # scales with the cluster
+    band_shards = _coarse_shards(floor=1024)  # scales with the cluster
 
     # band rows carry the full code along so the verifier needs no join back
     def band_with_code(batch: pa.Table) -> pa.Table:
@@ -1737,10 +1728,7 @@ def q_embedding_neardup(sf_dir: str):
     # without a Ray callable per bucket (bucket count ~ N/64 at scale)
     def bucketize(b: pa.Table) -> pa.Table:
         t = similarity.hyperplane_bucket_batch(b, n_planes=n_planes)
-        shard = pc.cast(
-            pc.bit_wise_and(t.column("bucket"), pa.scalar(n_shards - 1, pa.int64())),
-            pa.int32(),
-        )
+        shard = _shard_col(t.column("bucket"), n_shards)
         return t.append_column("embedding", b.column("embedding")).append_column(
             "bucket_shard", shard
         )
@@ -1969,11 +1957,7 @@ def q_corpus_clean(sf_dir: str):
             pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int32()))
         )
         hashed = dedup.add_text_hash(kept)
-        shard = pc.cast(
-            pc.bit_wise_and(hashed.column("text_hash"),
-                            pa.scalar(n_shards - 1, pa.int64())),
-            pa.int32(),
-        )
+        shard = _shard_col(hashed.column("text_hash"), n_shards)
         return hashed.select(
             ["doc_id", "lang", "text_hash", "text_hash_lo"]
         ).append_column("hash_shard", shard)
@@ -2190,10 +2174,7 @@ def q_sequence_packing(sf_dir: str):
                 pc.fill_null(batch.column("text"), ""), r"\S+"
             ), pa.int64()
         )
-        shard = pc.cast(
-            pc.bit_wise_and(doc_id, pa.scalar(_PACK_SHARDS - 1, pa.int64())),
-            pa.int32(),
-        )
+        shard = _shard_col(doc_id, _PACK_SHARDS)
         rng = pc.cast(pc.divide(doc_id, pa.scalar(width, pa.int64())), pa.int64())
         return pa.Table.from_arrays(
             [doc_id, n_tok, shard, rng],
