@@ -8,9 +8,10 @@ Prints ONE JSON line:
 
 Modes:
   (default)    full suite: synthetic-corpus extraction + testdata queries
-  --scaling    run the extraction headline twice in fresh processes
-               (RAY_GRAFT_SCALE_CPUS_LOW=8 vs num_cpus) on the same corpus
-               and report throughput at both + scaling efficiency
+  --scaling    run the extraction headline at several parallelism levels
+               in fresh processes (RAY_GRAFT_SCALE_LEVELS, default
+               "2,8,<cpus>") on the same corpus and report throughput at
+               each + pairwise scaling efficiency
   --extraction-only  internal: one extraction run (used by --scaling)
 
 This script OWNS its Ray session (ray.init(address="local")); the library
@@ -49,8 +50,11 @@ def ensure_corpus() -> tuple[str, int]:
     out = _corpus_dir()
     meta = os.path.join(out, "_meta.json")
     if os.path.exists(meta):
-        with open(meta) as f:
-            return out, json.load(f)["html_bytes"]
+        try:
+            with open(meta) as f:
+                return out, json.load(f)["html_bytes"]
+        except (json.JSONDecodeError, KeyError):
+            pass  # truncated meta from a crashed run: regenerate below
 
     os.makedirs(out, exist_ok=True)
     rows_per_file = 2000
@@ -58,26 +62,23 @@ def ensure_corpus() -> tuple[str, int]:
 
     @ray.remote
     def gen(start: int) -> int:
-        import pyarrow.parquet as pq
-
-        from node_html_parser_ray.sources.corpus import generate_documents
+        from node_html_parser_ray.sources.corpus import write_corpus_shard
 
         n = min(rows_per_file, BENCH_DOCS - start)
-        table = generate_documents(
-            n, seed=BENCH_SEED, giant_fraction=GIANT_FRACTION, id_offset=start
+        _, html_chars = write_corpus_shard(
+            out, start, n, seed=BENCH_SEED, giant_fraction=GIANT_FRACTION
         )
-        pq.write_table(
-            table, os.path.join(out, f"docs-{start:09d}.parquet"),
-            use_dictionary=False,
-        )
-        total = 0
-        for row in table.column("spans").to_pylist():
-            total += sum(len(s["text"]) for s in row if s["kind"] == "html")
-        return total
+        return html_chars
 
     html_bytes = sum(ray.get([gen.remote(s) for s in starts]))
-    with open(meta, "w") as f:
+    # atomic: a crash mid-write must not leave a truncated meta that blocks
+    # every future bench run (same mkstemp+replace pattern as the manifest)
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
         json.dump({"n_docs": BENCH_DOCS, "html_bytes": html_bytes}, f)
+    os.replace(tmp, meta)
     return out, html_bytes
 
 
@@ -258,25 +259,29 @@ def run_scaling(args) -> None:
         int(x)
         for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", f"2,8,{args.cpus}").split(",")
     ]
+    def _child_json(mode: str, cpus: int) -> dict:
+        """Run one child level; fail LOUDLY with its stderr on error (a
+        silent IndexError on empty stdout hid which level died and why)."""
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode,
+             "--cpus", str(cpus)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling child {mode} cpus={cpus} failed "
+                f"(rc={proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.strip().splitlines()[-15:])
+            )
+        return json.loads(lines[-1])
+
     results = {}
     controls = {}
     for cpus in levels:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extraction-only",
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        ctl = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--control-only",
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-        )
-        cline = [l for l in ctl.stdout.strip().splitlines() if l.startswith("{")][-1]
-        controls[cpus] = json.loads(cline)["work_per_sec"]
+        results[cpus] = _child_json("--extraction-only", cpus)
+        controls[cpus] = _child_json("--control-only", cpus)["work_per_sec"]
 
     def eff(lo: int, hi: int) -> dict:
         tp_lo = results[lo]["extraction"]["docs_per_sec"]

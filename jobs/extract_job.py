@@ -87,13 +87,23 @@ def main() -> None:
     )
     wall = time.perf_counter() - t0
     totals = result["totals"]
+    # throughput covers only THIS invocation's work: totals span the full
+    # manifest lineage (incl. shards committed by earlier runs), so dividing
+    # them by this run's wall time would fabricate the headline on a resume
+    ran_ids = set(result["ran"])
+    ran_docs = sum(
+        r["metrics"].get("n_docs", 0)
+        for r in result["lineage"]
+        if r["shard_id"] in ran_ids
+    )
     print(json.dumps({
         "metric": "extract_job",
         "wall_sec": round(wall, 2),
         "n_input_files": len(files),
         "shards_ran": len(result["ran"]),
         "shards_skipped": len(result["skipped"]),
-        "docs_per_sec": round(totals["n_docs"] / wall, 1) if wall else None,
+        "docs_this_run": ran_docs,
+        "docs_per_sec": round(ran_docs / wall, 1) if wall else None,
         **totals,
     }))
     ray.shutdown()

@@ -114,6 +114,19 @@ def run_checkpointed(
         if not files:
             continue
         if manifest.is_complete(shard_id):
+            committed = manifest.read(shard_id).get("input_files", [])
+            if sorted(committed) != sorted(files):
+                # the input set or shard_count changed since the committed
+                # run: skipping by id would silently drop the files now in
+                # this shard (and double-process others) — refuse instead
+                raise ValueError(
+                    f"resume mismatch for shard {shard_id}: the committed "
+                    f"record covers {len(committed)} input file(s) that "
+                    "differ from the current shard assignment (input set or "
+                    "shard_count changed). Resume requires the same inputs "
+                    "and shard count; use a fresh output directory for a "
+                    "re-sharded run."
+                )
             skipped.append(shard_id)
             continue
         shard_out = os.path.join(out_dir, f"shard={shard_id:06d}")

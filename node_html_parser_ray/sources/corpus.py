@@ -15,11 +15,11 @@ distribution with a configurable "giant" fraction to exercise skew handling.
 from __future__ import annotations
 
 import random
-from typing import Optional
 
 import pyarrow as pa
 
-__all__ = ["SPAN_STRUCT", "INPUT_SCHEMA", "generate_documents", "write_corpus"]
+__all__ = ["SPAN_STRUCT", "INPUT_SCHEMA", "generate_documents",
+           "write_corpus", "write_corpus_shard"]
 
 SPAN_STRUCT = pa.struct(
     [
@@ -225,6 +225,42 @@ def generate_documents(
     return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
 
 
+def write_corpus_shard(
+    out_dir: str,
+    start: int,
+    n: int,
+    seed: int = 42,
+    giant_fraction: float = 0.0,
+) -> tuple[str, int]:
+    """Write ONE corpus shard; returns (path, html_char_total).
+
+    The single implementation of the shard layout — filename pattern and
+    parquet options — shared by :func:`write_corpus` (tests) and bench.py's
+    parallel generator, so the benched corpus format can't drift from the
+    tested one.  Dictionary encoding is disabled: pathological for
+    mostly-unique text payloads (40x slower decode measured).
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = generate_documents(
+        n, seed=seed, giant_fraction=giant_fraction, id_offset=start
+    )
+    path = os.path.join(out_dir, f"docs-{start:09d}.parquet")
+    pq.write_table(table, path, use_dictionary=False)
+    flat = table.column("spans").combine_chunks().flatten()
+    html_chars = pc.sum(
+        pc.if_else(
+            pc.equal(flat.field("kind"), "html"),
+            pc.utf8_length(flat.field("text")),
+            0,
+        )
+    ).as_py() or 0
+    return path, int(html_chars)
+
+
 def write_corpus(
     out_dir: str,
     n_docs: int,
@@ -235,16 +271,12 @@ def write_corpus(
     """Write the corpus as one parquet file per shard; returns file paths."""
     import os
 
-    import pyarrow.parquet as pq
-
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for start in range(0, n_docs, rows_per_file):
         n = min(rows_per_file, n_docs - start)
-        table = generate_documents(n, seed=seed, giant_fraction=giant_fraction, id_offset=start)
-        path = os.path.join(out_dir, f"docs-{start:09d}.parquet")
-        # dictionary encoding is pathological for mostly-unique text payloads
-        # (40x slower decode measured); disable it
-        pq.write_table(table, path, use_dictionary=False)
+        path, _ = write_corpus_shard(
+            out_dir, start, n, seed=seed, giant_fraction=giant_fraction
+        )
         paths.append(path)
     return paths

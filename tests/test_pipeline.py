@@ -92,16 +92,33 @@ class TestCheckpointResume:
         from node_html_parser_ray.state.manifest import ShardManifest
 
         src = str(tmp_path / "in")
-        files = write_corpus(src, n_docs=60, seed=4, rows_per_file=15)
+        files = sorted(write_corpus(src, n_docs=60, seed=4, rows_per_file=15))
         out = str(tmp_path / "out")
-        # pre-commit shard 1 as if a previous run completed it
-        run_checkpointed(files[1::4], out, shard_count=1)
-        manifest = ShardManifest(out)
-        assert manifest.completed_shards() == {0}
+        # pre-commit shard 0 as if a previous run with the SAME sharding
+        # completed it (shard 0 of shard_count=4 over sorted files = 0::4)
+        ShardManifest(out).commit(0, files[0::4], 15, {"n_docs": 15})
+        assert ShardManifest(out).completed_shards() == {0}
 
         result = run_checkpointed(files, out, shard_count=4)
         assert 0 in result["skipped"]
         assert sorted(result["ran"]) == [1, 2, 3]
+
+    def test_resume_refuses_changed_sharding(self, ray_session, tmp_path):
+        """A committed shard whose input files differ from the current
+        shard assignment (input set or shard_count changed) must refuse to
+        resume rather than silently drop/double-process files."""
+        import pytest
+
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = sorted(write_corpus(src, n_docs=60, seed=4, rows_per_file=15))
+        out = str(tmp_path / "out")
+        # commit shard 0 under a DIFFERENT assignment (files[1::4])
+        ShardManifest(out).commit(0, files[1::4], 15, {"n_docs": 15})
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_checkpointed(files, out, shard_count=4)
 
     def test_cross_backend_resume(self, ray_session, tmp_path, monkeypatch):
         """A manifest committed on the parquet fallback resumes correctly
