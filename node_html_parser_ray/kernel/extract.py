@@ -15,7 +15,13 @@ FIXTURES.md §2): for each document, an ordered span sequence where
   spans interleave in document order (design decision: the reference has no
   media concept, so the golden semantics for mixed docs are defined *here*;
   for media-free documents ``'\\n'.join(text spans)`` equals
-  ``structured_text`` exactly, which the ported html.spec tests verify).
+  ``structured_text`` with EMPTY lines removed: a block whose text decodes
+  and normalises to "" (e.g. ``<div>&NewLine;</div>`` — not raw-whitespace,
+  so not an is_whitespace text node) contributes an empty line to the
+  reference's structuredText but, by design, NO span here (spans carry
+  non-empty text; the pdf/layout stage relies on the same invariant).  On
+  documents without such empty-normalising blocks — including every ported
+  html.spec fixture, which the tests verify — the join is exact).
 
 Also provides: document assembly from interleaved input spans (html fragments
 concatenated in offset order, media spans injected as ``<img>`` void-element
@@ -132,7 +138,9 @@ def extract_spans(
                 placeholder = None
                 if media_map:
                     idx = node.attributes.get(MEDIA_PLACEHOLDER_ATTR)
-                    if idx is not None:
+                    # document-controlled value: only well-formed small ints
+                    # resolve (a wild doc carrying the attr must not crash)
+                    if idx is not None and idx.isdigit() and len(idx) <= 9:
                         placeholder = media_map.get(int(idx))
                 if placeholder is not None:
                     kind, text, media_ref = placeholder

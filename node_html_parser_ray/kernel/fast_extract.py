@@ -46,10 +46,10 @@ __all__ = ["extract_spans_fast", "extract_spans_into"]
 
 _ASCII_WS = "\t\n\v\f\r "
 
-# media handling mirrors kernel.extract (duplicated constants to avoid an
-# import cycle: extract.py must stay importable without this module)
-_MEDIA_TAG_KINDS = {"img": "image", "video": "video", "embed": "embed"}
-_MEDIA_PLACEHOLDER_ATTR = "data-nhpr-media"
+# media handling shares kernel.extract's single definition (extract.py never
+# imports this module, so there is no cycle)
+from .extract import MEDIA_PLACEHOLDER_ATTR as _MEDIA_PLACEHOLDER_ATTR
+from .extract import MEDIA_TAG_KINDS as _MEDIA_TAG_KINDS
 
 
 def _attributes(raw_attrs: str) -> dict[str, str]:
@@ -281,7 +281,9 @@ def extract_spans_into(
                 attrs = _attributes(val[nid])
                 if media_map:
                     idx = attrs.get(_MEDIA_PLACEHOLDER_ATTR)
-                    if idx is not None:
+                    # document-controlled value: only well-formed small ints
+                    # resolve (a wild doc carrying the attr must not crash)
+                    if idx is not None and idx.isdigit() and len(idx) <= 9:
                         placeholder = media_map.get(int(idx))
                 if placeholder is not None:
                     kind, text, media_ref = placeholder

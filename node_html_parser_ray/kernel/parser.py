@@ -26,6 +26,20 @@ __all__ = ["parse", "ParseMetrics"]
 #   [^]        -> [\s\S]
 #   groups     -> named (close / tag / attrs / selfclose); inner groups made
 #                 non-capturing since only 1,2,3,7 are read by parse().
+#
+# KNOWN INHERITED LIMITATION (kept deliberately): the attrs repetition has
+# exponential backtracking on truncated tags whose attr chars are ambiguous
+# between the name and junk branches (e.g. "<a " + "a"*20 with no ">") —
+# the classic ReDoS shape of a cut-off crawl page.  This is the REFERENCE's
+# own behavior (V8's backtracking engine explodes identically on
+# src/index.ts:833), and it is NOT fixable bit-exactly: possessive/atomic
+# rewrites were fuzz-tested and change captures on 22/40k random inputs,
+# because greedy give-back is semantically needed (a shorter tag/junk match
+# can expose a `name=value` split whose value consumes '/' that no other
+# branch can — e.g. '<BA=/x>' matches tag 'B', attrs 'A=/x' only via
+# give-back).  Production guidance: bound worker task time at the Ray
+# level (task-level retries/timeouts) rather than altering tokenizer
+# semantics.
 _S = f"[{WS}]"
 KMARKUP = re.compile(
     r"<!--[\s\S]*?(?=-->)-->"

@@ -25,7 +25,7 @@ import re
 from typing import Callable, List, Optional, Union
 
 from .dom import HTMLElement
-from .jsregex import S, js_ws_split
+from .jsregex import S, js_trim, js_ws_split
 
 __all__ = ["Matcher", "query_selector", "query_selector_all"]
 
@@ -112,7 +112,10 @@ def _compile_selector(selector: str) -> list[Checker]:
     """
     checkers: list[Checker] = []
     for m in _SELECTOR_PART_RE.finditer(selector):
-        if not m.group(0).strip():
+        # JS trim() strips U+FEFF; Python str.strip() does not — a BOM-only
+        # part must be skipped like the reference does, not compiled into a
+        # spurious always-true checker
+        if not js_trim(m.group(0)):
             continue
         tag = m.group(1) or ""
         id_ = m.group(2) or ""
@@ -167,34 +170,54 @@ class Matcher:
 
 
 def _explore_all(node: HTMLElement, matcher: Matcher) -> list[HTMLElement]:
-    """querySelectorImpl(all=true) explore (reference src/index.ts:423-451)."""
-    advanced = matcher.advance(node) if node.tag_name else False
-    if advanced:
-        cloned = matcher.clone()
-        cloned.rewind()
-        children_results: list[HTMLElement] = []
-        for child in node.children:
-            children_results.extend(_explore_all(child, cloned.clone()))
-        if matcher.matched:
-            return [node, *children_results]
-        for child in node.children:
-            children_results.extend(_explore_all(child, matcher.clone()))
-        return children_results
+    """querySelectorImpl(all=true) explore (reference src/index.ts:423-451).
+
+    Iterative (explicit work stack) so a deeply nested wild document cannot
+    blow the interpreter stack inside a long-lived Ray worker — the same
+    guarantee the parser/extractor already give.  Emission order is
+    reproduced exactly, including the reference's deeper-first quirk on
+    same-tag chains (rewound-clone branch concatenated BEFORE the advanced
+    branch, src/index.ts:439): results append in recursion order via
+    reversed LIFO pushes, with an explicit emit marker for matched nodes.
+    """
     results: list[HTMLElement] = []
-    for child in node.children:
-        results.extend(_explore_all(child, matcher.clone()))
+    # stack entries: (node, matcher) visits or (None, element) emit markers
+    stack: list[tuple[Optional[HTMLElement], object]] = [(node, matcher)]
+    while stack:
+        n, m = stack.pop()
+        if n is None:  # emit marker
+            results.append(m)  # type: ignore[arg-type]
+            continue
+        advanced = m.advance(n) if n.tag_name else False
+        children = n.children
+        if advanced:
+            cloned = m.clone()
+            cloned.rewind()
+            if m.matched:
+                # node first, then children explored with the rewound clone
+                pushes = [(None, n)] + [(c, cloned.clone()) for c in children]
+            else:
+                # rewound-clone branch BEFORE the advanced branch
+                pushes = (
+                    [(c, cloned.clone()) for c in children]
+                    + [(c, m.clone()) for c in children]
+                )
+        else:
+            pushes = [(c, m.clone()) for c in children]
+        stack.extend(reversed(pushes))
     return results
 
 
 def _explore_first(node: HTMLElement, matcher: Matcher) -> Optional[HTMLElement]:
-    """querySelectorImpl(all=false) explore — short-circuit DFS."""
-    advanced = matcher.advance(node) if node.tag_name else False
-    if advanced and matcher.matched:
-        return node
-    for child in node.children:
-        result = _explore_first(child, matcher.clone())
-        if result is not None:
-            return result
+    """querySelectorImpl(all=false) explore — short-circuit DFS (iterative
+    for the same stack-depth guarantee as :func:`_explore_all`)."""
+    stack: list[tuple[HTMLElement, Matcher]] = [(node, matcher)]
+    while stack:
+        n, m = stack.pop()
+        advanced = m.advance(n) if n.tag_name else False
+        if advanced and m.matched:
+            return n
+        stack.extend((c, m.clone()) for c in reversed(n.children))
     return None
 
 

@@ -136,3 +136,29 @@ class TestFlatten:
         assert flat["node_id"] == [0, 1, 2, 3]
         assert flat["parent_id"] == [-1, 0, 1, 1]
         assert flat["tag"] == ["", "a", "b", "c"]
+
+
+class TestPlaceholderAttrRobustness:
+    def test_wild_placeholder_attr_does_not_crash(self):
+        """A document that happens to carry data-nhpr-media with a
+        non-numeric (or huge) value is a plain media element, not a crash
+        — in both the object and flat kernels."""
+        from node_html_parser_ray.kernel.extract import (
+            assemble_document,
+            extract_spans,
+        )
+        from node_html_parser_ray.kernel.fast_extract import extract_spans_fast
+        from node_html_parser_ray.kernel.parser import parse
+
+        html, media_map = assemble_document(
+            ["html", "image"],
+            ['<img data-nhpr-media=zzz src="/a.png">'
+             '<img data-nhpr-media=99999999999999999999 src="/b.png">x', ""],
+            ["", "media://d/0"],
+            [0, 1],
+        )
+        slow = extract_spans(parse(html), media_map)
+        fast, _ = extract_spans_fast(html, media_map)
+        assert fast == slow
+        kinds = [s[0] for s in fast]
+        assert kinds.count("image") >= 3  # wild imgs + the real placeholder

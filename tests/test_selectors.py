@@ -538,3 +538,29 @@ class TestColumnarAttributeOperators:
         assert len({_esc(v) for v in vals}) == len(vals)
         e = _encode_attrs({"k": "\x02v"})
         assert e.count("\x02") == 2  # only the delimiters remain unescaped
+
+
+class TestIterativeExplore:
+    def test_deep_nesting_no_recursion_limit(self):
+        """querySelector(+All) must survive documents nested past the
+        interpreter recursion limit (wild tag soup), like the parser does."""
+        from node_html_parser_ray.kernel.parser import parse
+        from node_html_parser_ray.kernel.selector import (
+            query_selector,
+            query_selector_all,
+        )
+
+        root = parse("<div>" * 1500 + "<span>x</span>" + "</div>" * 1500)
+        hits = query_selector_all(root, "span")
+        assert [e.tag_name for e in hits] == ["span"]
+        assert query_selector(root, "span") is hits[0]
+
+    def test_bom_only_selector_part_skipped(self):
+        """JS trim() strips U+FEFF: a BOM-only part must be skipped like the
+        reference, not compiled into an always-true checker."""
+        from node_html_parser_ray.kernel.parser import parse
+        from node_html_parser_ray.kernel.selector import query_selector_all
+
+        root = parse("<div><p><span>hi</span></p></div>")
+        got = [e.tag_name for e in query_selector_all(root, "div﻿")]
+        assert got == ["div"]
