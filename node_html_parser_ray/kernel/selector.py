@@ -181,8 +181,10 @@ def _explore_all(node: HTMLElement, matcher: Matcher) -> list[HTMLElement]:
     reversed LIFO pushes, with an explicit emit marker for matched nodes.
     """
     results: list[HTMLElement] = []
-    # stack entries: (node, matcher) visits or (None, element) emit markers
+    # stack entries: (node, matcher) visits or (None, element) emit markers;
+    # LIFO, so pushes happen in REVERSE of the desired emission order
     stack: list[tuple[Optional[HTMLElement], object]] = [(node, matcher)]
+    push = stack.append
     while stack:
         n, m = stack.pop()
         if n is None:  # emit marker
@@ -195,16 +197,18 @@ def _explore_all(node: HTMLElement, matcher: Matcher) -> list[HTMLElement]:
             cloned.rewind()
             if m.matched:
                 # node first, then children explored with the rewound clone
-                pushes = [(None, n)] + [(c, cloned.clone()) for c in children]
+                for c in reversed(children):
+                    push((c, cloned.clone()))
+                push((None, n))
             else:
                 # rewound-clone branch BEFORE the advanced branch
-                pushes = (
-                    [(c, cloned.clone()) for c in children]
-                    + [(c, m.clone()) for c in children]
-                )
+                for c in reversed(children):
+                    push((c, m.clone()))
+                for c in reversed(children):
+                    push((c, cloned.clone()))
         else:
-            pushes = [(c, m.clone()) for c in children]
-        stack.extend(reversed(pushes))
+            for c in reversed(children):
+                push((c, m.clone()))
     return results
 
 

@@ -564,3 +564,48 @@ class TestIterativeExplore:
         root = parse("<div><p><span>hi</span></p></div>")
         got = [e.tag_name for e in query_selector_all(root, "div﻿")]
         assert got == ["div"]
+
+    def test_iterative_matches_recursive_reference_fuzz(self):
+        """Differential fuzz: the iterative explore reproduces the exact
+        result SEQUENCE of the reference's recursive formulation on random
+        tag soup (including the deeper-first same-tag chain order)."""
+        import random
+
+        from node_html_parser_ray.kernel.parser import parse
+        from node_html_parser_ray.kernel.selector import Matcher, _explore_all
+
+        def explore_rec(node, matcher):
+            advanced = matcher.advance(node) if node.tag_name else False
+            if advanced:
+                cloned = matcher.clone()
+                cloned.rewind()
+                kids = []
+                for child in node.children:
+                    kids.extend(explore_rec(child, cloned.clone()))
+                if matcher.matched:
+                    return [node, *kids]
+                for child in node.children:
+                    kids.extend(explore_rec(child, matcher.clone()))
+                return kids
+            out = []
+            for child in node.children:
+                out.extend(explore_rec(child, matcher.clone()))
+            return out
+
+        rng = random.Random(11)
+        tags = ["div", "p", "span", "a", "b", "ul", "li"]
+        sels = ["div", "p span", "div div", "*", "ul li", "div p span",
+                ".x", "div.x", "span b"]
+        for _ in range(150):
+            parts = []
+            for _ in range(rng.randint(1, 25)):
+                t = rng.choice(tags)
+                cls = ' class="x"' if rng.random() < 0.3 else ""
+                parts.append(rng.choice([
+                    f"<{t}{cls}>", f"</{t}>", "w ",
+                ]))
+            root = parse("".join(parts))
+            for s in sels:
+                got = [id(e) for e in _explore_all(root, Matcher(s))]
+                want = [id(e) for e in explore_rec(root, Matcher(s))]
+                assert got == want, ("order mismatch", s, "".join(parts))
