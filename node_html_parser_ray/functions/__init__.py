@@ -8,7 +8,8 @@ worker.
 """
 from ..kernel.entities import decode, encode
 from ..kernel.jsregex import js_trim, js_ws_split
-from ..stages.dedup import popcount64
+from ..stages.dedup import bloom_bits_for_ids, bloom_test_ids, popcount64
+from ..stages.layout import xy_cut_order
 from ..stages.textstats import (
     fingerprint_batch,
     langid_batch,
@@ -22,6 +23,9 @@ __all__ = [
     "js_trim",
     "js_ws_split",
     "popcount64",
+    "bloom_bits_for_ids",
+    "bloom_test_ids",
+    "xy_cut_order",
     "fingerprint_batch",
     "langid_batch",
     "quality_batch",
