@@ -37,6 +37,9 @@ def main() -> None:
     parser.add_argument("--shards", type=int, default=0,
                         help="shard count (0 = one per ~16 input files)")
     parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--partition-output", action="store_true",
+                        help="hash-partition each shard's output by salted "
+                             "doc_id (partition_id=N/ hive dirs)")
     parser.add_argument("--local-cpus", type=int, default=0,
                         help="standalone only: ray.init num_cpus (0 = all)")
     args = parser.parse_args()
@@ -83,7 +86,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     result = run_checkpointed(
-        files, args.output, shard_count=shard_count, batch_size=args.batch_size
+        files, args.output, shard_count=shard_count,
+        batch_size=args.batch_size, partition_output=args.partition_output,
     )
     wall = time.perf_counter() - t0
     totals = result["totals"]

@@ -94,6 +94,8 @@ def run_checkpointed(
     shard_count: int = 8,
     options: Optional[dict] = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    partition_output: bool = False,
+    num_partitions: int = 64,
 ) -> dict:
     """Run the extraction over input files with shard-granular resume.
 
@@ -101,6 +103,11 @@ def run_checkpointed(
     through the pipeline and commits a manifest entry with lineage metrics.
     Already-committed shards are skipped at the source scan.  Returns the
     run summary (shards run/skipped + aggregate metrics).
+
+    ``partition_output=True`` additionally hash-partitions each shard's
+    parquet output by the salted doc_id partition (north_rule clause:
+    ``partition_id=N/`` hive directories, giant documents routed to the
+    dedicated salt range — see extract_stage.add_partition_column).
     """
     import ray
 
@@ -136,12 +143,21 @@ def run_checkpointed(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
+        if partition_output:
+            ds = ds.map_batches(
+                lambda b: add_partition_column(b, num_partitions),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
         # overwrite any partial output from a crashed run (idempotent commit)
         if os.path.isdir(shard_out):
             import shutil
 
             shutil.rmtree(shard_out)
-        backend = lance_io.write_output(ds, shard_out)
+        backend = lance_io.write_output(
+            ds, shard_out,
+            partition_cols=["partition_id"] if partition_output else None,
+        )
         metrics = _aggregate_shard_metrics(shard_out, backend)
         manifest.commit(
             shard_id, files, metrics["n_docs"], metrics,

@@ -70,16 +70,26 @@ def read_documents(
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def write_output(ds, out_dir: str, *, prefer_lance: bool = True) -> str:
+def write_output(
+    ds, out_dir: str, *, prefer_lance: bool = True,
+    partition_cols: Optional[list] = None,
+) -> str:
     """Write a Dataset shard; returns the backend used ("lance"/"parquet").
 
+    ``partition_cols`` hive-partitions the parquet fallback (north_rule:
+    per-partition output directories keyed on the salted doc_id hash); the
+    Lance path ignores it (fragments are Lance's own partition unit).
     Parquet writes disable dictionary encoding: mostly-unique text pages
     decode ~40x slower with it (measured round 1).
     """
     if HAS_LANCE and prefer_lance:
         ds.write_lance(out_dir)
         return "lance"
-    ds.write_parquet(out_dir, use_dictionary=False)
+    if partition_cols:
+        ds.write_parquet(out_dir, partition_cols=partition_cols,
+                         use_dictionary=False)
+    else:
+        ds.write_parquet(out_dir, use_dictionary=False)
     return "parquet"
 
 
@@ -93,7 +103,12 @@ def output_fragments(out_dir: str, backend: str) -> list[str]:
         dataset = lance.dataset(out_dir)
         return [f"fragment:{frag.fragment_id}" for frag in dataset.get_fragments()]
     if os.path.isdir(out_dir):
-        return sorted(
-            f for f in os.listdir(out_dir) if f.endswith((".parquet", ".lance"))
-        )
+        # walk: hive-partitioned shards keep files under partition_id=N/
+        out = []
+        for root, _, names in os.walk(out_dir):
+            rel = os.path.relpath(root, out_dir)
+            for f in names:
+                if f.endswith((".parquet", ".lance")):
+                    out.append(f if rel == "." else os.path.join(rel, f))
+        return sorted(out)
     return []

@@ -158,7 +158,7 @@ class TestCheckpointResume:
         monkeypatch.setattr(lance_io, "HAS_LANCE", True)
         monkeypatch.setattr(lance_io, "lance", _FakeLance, raising=False)
 
-        def fake_write(ds, out_dir, *, prefer_lance=True):
+        def fake_write(ds, out_dir, *, prefer_lance=True, partition_cols=None):
             ds.write_parquet(out_dir, use_dictionary=False)
             return "lance"
 
@@ -1205,3 +1205,35 @@ class TestDriverContract:
         assert set(ORACLE_SQL) <= set(QUERIES)
         missing = sorted(k for k in ORACLE_SQL if k not in top50)
         assert not missing, f"oracle-backed queries past the cap: {missing}"
+
+
+class TestPartitionedOutput:
+    def test_partitioned_shard_output(self, ray_session, tmp_path):
+        """partition_output=True writes hive partition_id=N/ dirs inside
+        each shard, fragments record the nested files, metrics still
+        aggregate, and resume still skips the committed shard."""
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=60, seed=9, rows_per_file=30)
+        out = str(tmp_path / "out")
+        first = run_checkpointed(files, out, shard_count=2,
+                                 partition_output=True, num_partitions=8)
+        assert sorted(first["ran"]) == [0, 1]
+        assert first["totals"]["n_docs"] == 60
+        shard0 = os.path.join(out, "shard=000000")
+        parts = [d for d in os.listdir(shard0) if d.startswith("partition_id=")]
+        assert parts, os.listdir(shard0)
+        # lineage fragments include the nested partition files
+        rec = ShardManifest(out).read(0)
+        assert any(f.startswith("partition_id=") for f in rec["fragments"])
+        # read back through the hive layout: all rows, partition col present
+        t = pq.read_table(shard0)
+        assert t.num_rows == 30
+        assert "partition_id" in t.schema.names
+        second = run_checkpointed(files, out, shard_count=2,
+                                  partition_output=True, num_partitions=8)
+        assert second["ran"] == [] and sorted(second["skipped"]) == [0, 1]
