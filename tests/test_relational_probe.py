@@ -1,0 +1,148 @@
+"""Adversarial relational probe: boundary and referential-integrity cases
+the TPC-H-ish testdata never exercises, checked value-for-value against the
+DuckDB oracles.
+
+Cases planted: orders whose o_custkey has no customer row (inner-join drop
+semantics), lineitems with unknown suppliers, events exactly at the 30-min
+session gap and exactly at the 1-hour sliding-window edge, a lineitem
+shipped exactly at the Q1 cutoff timestamp, order prices landing exactly on
+a .5 cent (half-away vs half-even rounding), and single-event users.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+_QUERIES = [
+    "orders_by_nation", "top_spenders", "pricing_summary",
+    "revenue_by_region", "segment_order_revenue", "top_orders_per_segment",
+    "value_bands", "sessions", "sliding_window", "events_hourly",
+    "asof_last_order", "entities_by_nation",
+]
+
+_T0 = dt.datetime(1995, 6, 1, 12, 0, 0)
+
+
+def _ts(minutes: float):
+    return _T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def probe_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rel_probe"))
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": ["ALPHA", "BETA"],
+    }), os.path.join(d, "region.parquet"))
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": ["AAA", "BBB", "CCC"],
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": [f"c{i}" for i in range(4)],
+        "c_nationkey": pa.array([0, 1, 2, 0], pa.int32()),
+        "c_acctbal": [10.0, 20.0, 30.0, 40.0],
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE", "BUILDING", "MACHINERY"],
+    }), os.path.join(d, "customer.parquet"))
+
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": ["s1", "s2"],
+        "s_nationkey": pa.array([0, 2], pa.int32()),
+        "s_acctbal": [5.0, 6.0],
+    }), os.path.join(d, "supplier.parquet"))
+
+    # order 999 -> unknown customer 99 (must DROP from joins);
+    # prices exactly on .5 cents: 100.005 * 100 = 10000.5
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 999], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 1, 99], pa.int64()),
+        "o_orderstatus": ["F"] * 5,
+        "o_totalprice": [100.005, 250.0, 0.125, 99.995, 1e6],
+        "o_orderdate": [_ts(-60 * 24 * i) for i in range(5)],
+        "o_orderpriority": ["1-URGENT"] * 5,
+    }), os.path.join(d, "orders.parquet"))
+
+    # lineitem for order 999 (unknown customer upstream) and supplier 77
+    # (unknown -> revenue_by_region must drop); shipdate exactly at the Q1
+    # cutoff TIMESTAMP '1998-09-01' (<= boundary)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 999, 13], pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 2, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 77, 2, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1], pa.int32()),
+        "l_quantity": [1.0, 2.0005, 3.0, 4.0, 5.0, 6.0],
+        "l_extendedprice": [10.005, 20.0, 30.0, 40.0, 50.0, 60.0],
+        "l_discount": [0.0, 0.05, 0.1, 0.0, 0.5, 0.25],
+        "l_tax": [0.0] * 6,
+        "l_returnflag": ["N", "N", "R", "A", "N", "R"],
+        "l_linestatus": ["O", "F", "O", "F", "O", "F"],
+        "l_shipdate": [dt.datetime(1998, 9, 1), dt.datetime(1998, 9, 1, 0, 0, 1),
+                       dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1),
+                       dt.datetime(1997, 1, 1), dt.datetime(1998, 8, 31)],
+    }), os.path.join(d, "lineitem.parquet"))
+
+    # user 1: gap EXACTLY 30min (boundary: > 30min starts a session, == does
+    # not), then 30min+1s (new session); user 2: single event; user 3:
+    # events exactly 1h apart (RANGE window includes the == boundary)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(1, 8)), pa.int64()),
+        "ts": [_ts(0), _ts(30), _ts(60.02), _ts(0),
+               _ts(0), _ts(60), _ts(120)],
+        "user_id": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
+        "event_type": ["a", "b", "a", "c", "a", "a", "b"],
+        "value": [1.0005, 2.0, 3.0, 4.0, 5.0, 6.0005, 7.0],
+        "props": ["{}"] * 7,
+    }), os.path.join(d, "events.parquet"))
+
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _value_rows(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return sorted(
+        tuple(str(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_relational_query_matches_oracle_on_boundaries(ray_session, probe_dir, name):
+    import pandas as pd
+
+    from node_html_parser_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    result = QUERIES[name](probe_dir)
+    if isinstance(result, pd.DataFrame):
+        got = result
+    elif isinstance(result, pa.Table):
+        got = result.to_pandas()
+    else:
+        got = result.to_pandas()
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{probe_dir}/{t}.parquet')"
+        )
+    want = con.execute(ORACLE_SQL[name]).df()
+    assert len(got) == len(want), (name, len(got), len(want))
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert _value_rows(got) == _value_rows(want), name
