@@ -70,9 +70,14 @@ class TopKCosine:
         ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
         emb = embedding_matrix(batch)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        zero_rows = (norms == 0).ravel()
         norms[norms == 0] = 1.0
         emb = emb / norms
         cos = emb @ self.q_normed.T  # (n, q)
+        # zero-norm vectors have undefined cosine: rank them LAST (after
+        # cos=-1), matching the SQL oracle's NULL-cosine NULLS LAST ordering
+        if zero_rows.any():
+            cos[zero_rows, :] = -np.inf
         out_q, out_id, out_cos = [], [], []
         for qi in range(cos.shape[1]):
             col = cos[:, qi]

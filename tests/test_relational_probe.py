@@ -146,3 +146,42 @@ def test_relational_query_matches_oracle_on_boundaries(ray_session, probe_dir, n
     assert len(got) == len(want), (name, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), name
     assert _value_rows(got) == _value_rows(want), name
+
+
+class TestEmbeddingProbe:
+    def test_ann_topk_ties_zero_vector_and_small_n(self, ray_session, tmp_path):
+        """Cosine ties (duplicate + scaled copies of the query), a zero-norm
+        vector (undefined cosine -> ranked last, matching SQL NULLS LAST),
+        and n < k all order identically to the DuckDB oracle."""
+        import numpy as np
+        import pandas as pd
+
+        from node_html_parser_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        d = str(tmp_path)
+        rng = np.random.RandomState(5)
+        dim = 16
+        q = rng.standard_normal(dim).astype(np.float32)
+        vecs = [q, q.copy(), q * 2.0, np.zeros(dim, np.float32), -q,
+                rng.standard_normal(dim).astype(np.float32),
+                rng.standard_normal(dim).astype(np.float32)]
+        tb = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        })
+        pq.write_table(tb, os.path.join(d, "embeddings.parquet"))
+
+        got = QUERIES["ann_topk"](d)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+            f"'{d}/embeddings.parquet')"
+        )
+        want = con.execute(ORACLE_SQL["ann_topk"]).df()
+        g = got.sort_values("rank")[["rank", "vec_id"]].values.tolist()
+        w = want.sort_values("rank")[["rank", "vec_id"]].values.tolist()
+        assert g == w
