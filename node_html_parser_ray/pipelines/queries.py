@@ -227,7 +227,17 @@ def q_doc_stats_by_lang(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    g = _docs(sf_dir).groupby("lang").aggregate(Count(), Sum("n_chars"))
+    def fill(batch: pa.Table) -> pa.Table:
+        # null group keys crash Ray's groupby sort; '' on BOTH sides
+        return batch.set_column(
+            batch.schema.get_field_index("lang"), "lang",
+            pc.fill_null(batch.column("lang"), ""),
+        )
+
+    g = (
+        _docs(sf_dir).map_batches(fill, batch_format="pyarrow")
+        .groupby("lang").aggregate(Count(), Sum("n_chars"))
+    )
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["lang", "n_docs", "sum_chars"])
@@ -845,6 +855,10 @@ def q_distinct_lang_source(sf_dir: str):
     )
 
     def local_distinct(batch: pa.Table) -> pa.Table:
+        batch = pa.table({
+            "lang": pc.fill_null(batch.column("lang"), ""),
+            "source": pc.fill_null(batch.column("source"), ""),
+        })
         return batch.group_by(["lang", "source"]).aggregate([])
 
     g = ds.map_batches(local_distinct, batch_format="pyarrow").groupby(
@@ -2056,6 +2070,10 @@ def q_length_quantiles(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = pa.table({
+            "lang": pc.fill_null(batch.column("lang"), ""),
+            "n_chars": batch.column("n_chars"),
+        })
         return (
             batch.group_by(["lang", "n_chars"])
             .aggregate([("n_chars", "count")])
@@ -2275,6 +2293,7 @@ def q_stratified_sample(sf_dir: str):
         import pandas as pd
 
         df = batch.to_pandas()
+        df["lang"] = df["lang"].fillna("")
         rate = df["lang"].map(_STRATA_RATES).fillna(1).astype("int64")
         kept = df[(df["doc_id"] % rate) == 0]
         g = kept.groupby("lang", as_index=False).agg(part_n=("doc_id", "size"))
@@ -2650,7 +2669,7 @@ ORACLE_SQL = {
         ) o ON o.o_custkey = e.user_id + 1 AND o.o_orderdate <= e.ts
     """,
     "distinct_lang_source": """
-        SELECT DISTINCT lang, source FROM documents
+        SELECT DISTINCT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source FROM documents
     """,
     "entities_by_nation": """
         SELECT nationkey, COUNT(*) AS n_entities
@@ -2681,8 +2700,9 @@ ORACLE_SQL = {
         FROM documents
     """,
     "doc_stats_by_lang": """
-        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        FROM documents GROUP BY lang
+        SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
     """,
     "token_counts": rf"""
         SELECT doc_id,
@@ -2779,10 +2799,10 @@ ORACLE_SQL = {
         FROM c GROUP BY 1, 2
     """,
     "stratified_sample": """
-        SELECT lang, COUNT(*) AS n_kept
+        SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_kept
         FROM documents
         WHERE doc_id % (CASE lang WHEN 'en' THEN 4 WHEN 'zh' THEN 2 ELSE 1 END) = 0
-        GROUP BY lang
+        GROUP BY 1
     """,
     "vocab_topk": r"""
         WITH words AS (
@@ -2793,11 +2813,11 @@ ORACLE_SQL = {
         FROM c QUALIFY rank <= 50
     """,
     "length_quantiles": """
-        SELECT lang, COUNT(*) AS n_docs,
+        SELECT COALESCE(lang, '') AS lang, COUNT(*) AS n_docs,
                CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
                CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
                CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
-        FROM documents GROUP BY lang
+        FROM documents GROUP BY 1
     """,
     "epoch_shuffle": """
         SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0

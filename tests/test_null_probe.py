@@ -25,7 +25,7 @@ _PROBE_QUERIES = [
     "decontaminate", "repetition_score", "sequence_packing",
     "stratified_sample", "sample_mod", "doc_stats_by_lang", "token_counts",
     "quality", "lang_id", "exact_dedup", "fingerprints", "pdf_extract",
-    "epoch_shuffle",
+    "epoch_shuffle", "distinct_lang_source",
 ]
 
 _TEXTS = [
@@ -35,7 +35,15 @@ _TEXTS = [
     "hello world this is a longer document with text " * 20,
     "\t \n", "x" * 8, None,
     "the and of to is that with for " * 4,
+    "null lang document words here for the counter " * 3,
+    "null source document words " * 3,
 ]
+# last two docs carry null lang / null source: groupby-key null handling
+# (pandas drops NaN keys by default; SQL keeps a NULL group)
+_LANGS = ["en", "zh", "fr", "en", "de", "en", "zh", "en", "fr", "de",
+          "en", "en", None, "en"]
+_SOURCES = ["s0", "s1", "s2", "s0", "s1", "s2", "s0", "s1", "s2", "s0",
+            "s1", "s2", "s0", None]
 
 
 @pytest.fixture(scope="module")
@@ -45,10 +53,8 @@ def probe_dir(tmp_path_factory):
     tb = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
         "text": pa.array(_TEXTS, pa.string()),
-        "lang": pa.array(
-            ["en", "zh", "fr", "en", "de", "en", "zh", "en", "fr", "de",
-             "en", "en"]),
-        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "lang": pa.array(_LANGS),
+        "source": pa.array(_SOURCES),
         "n_chars": pa.array([len(t or "") for t in _TEXTS], pa.int64()),
     })
     pq.write_table(tb, os.path.join(d, "documents.parquet"))
