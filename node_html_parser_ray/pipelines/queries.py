@@ -1971,6 +1971,11 @@ def q_corpus_clean(sf_dir: str):
             pc.greater_equal(n_tok, pa.scalar(min_tokens, pa.int32()))
         )
         hashed = dedup.add_text_hash(kept)
+        # null lang crashes the downstream groupby sort; '' on both sides
+        hashed = hashed.set_column(
+            hashed.schema.get_field_index("lang"), "lang",
+            pc.fill_null(hashed.column("lang"), ""),
+        )
         shard = _shard_col(hashed.column("text_hash"), n_shards)
         return hashed.select(
             ["doc_id", "lang", "text_hash", "text_hash_lo"]
@@ -2824,12 +2829,12 @@ ORACLE_SQL = {
     """,
     "corpus_clean": r"""
         WITH q AS (
-          SELECT doc_id, lang, text,
-                 CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+          SELECT doc_id, COALESCE(lang, '') AS lang, text,
+                 CAST(length(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tokens
           FROM documents),
         k AS (
           SELECT MIN(doc_id) AS keeper
-          FROM q WHERE n_tokens >= 50 GROUP BY text)
+          FROM q WHERE n_tokens >= 50 GROUP BY COALESCE(text, ''))
         SELECT q.lang, COUNT(*) AS n_docs
         FROM q JOIN k ON q.doc_id = k.keeper
         GROUP BY q.lang

@@ -35,7 +35,9 @@ _TEXTS = [
     "hello world this is a longer document with text " * 20,
     "\t \n", "x" * 8, None,
     "the and of to is that with for " * 4,
-    "null lang document words here for the counter " * 3,
+    # long enough to pass corpus_clean's 50-token quality gate, so the
+    # null-lang doc reaches the lang rollup groupby
+    "null lang document words here for the counter " * 10,
     "null source document words " * 3,
 ]
 # last two docs carry null lang / null source: groupby-key null handling
