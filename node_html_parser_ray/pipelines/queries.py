@@ -294,6 +294,11 @@ def q_events_hourly(sf_dir: str):
         import pandas as pd
 
         df = batch.to_pandas()
+        # null event_type is a real group ('' on both sides); a null value
+        # contributes 0 to the sum (pandas would silently DROP the NaN
+        # group key where SQL keeps NULL)
+        df["event_type"] = df["event_type"].fillna("")
+        df["value"] = df["value"].fillna(0.0)
         df["window_start"] = df["ts"].dt.floor("h")
         g = (
             df.groupby(["event_type", "window_start"], as_index=False)
@@ -2749,10 +2754,10 @@ ORACLE_SQL = {
         FROM documents GROUP BY COALESCE(text, '')
     """,
     "events_hourly": """
-        SELECT event_type,
+        SELECT COALESCE(event_type, '') AS event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n_events,
-               CAST(ROUND(SUM(value) * 1000) AS BIGINT) AS sum_value_milli
+               CAST(ROUND(SUM(COALESCE(value, 0)) * 1000) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1, 2
     """,
     "ann_topk": """

@@ -96,14 +96,18 @@ def probe_dir(tmp_path_factory):
     # user 1: gap EXACTLY 30min (boundary: > 30min starts a session, == does
     # not), then 30min+1s (new session); user 2: single event; user 3:
     # events exactly 1h apart (RANGE window includes the == boundary)
+    # event 8 carries null event_type AND null value: the hourly rollup
+    # must keep it as the '' group with 0 contribution (pandas would
+    # silently drop a NaN group key; SQL keeps NULL)
     pq.write_table(pa.table({
-        "event_id": pa.array(list(range(1, 8)), pa.int64()),
+        "event_id": pa.array(list(range(1, 9)), pa.int64()),
         "ts": [_ts(0), _ts(30), _ts(60.02), _ts(0),
-               _ts(0), _ts(60), _ts(120)],
-        "user_id": pa.array([1, 1, 1, 2, 3, 3, 3], pa.int64()),
-        "event_type": ["a", "b", "a", "c", "a", "a", "b"],
-        "value": [1.0005, 2.0, 3.0, 4.0, 5.0, 6.0005, 7.0],
-        "props": ["{}"] * 7,
+               _ts(0), _ts(60), _ts(120), _ts(5)],
+        "user_id": pa.array([1, 1, 1, 2, 3, 3, 3, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c", "a", "a", "b", None]),
+        "value": pa.array([1.0005, 2.0, 3.0, 4.0, 5.0, 6.0005, 7.0, None],
+                          pa.float64()),
+        "props": ["{}"] * 8,
     }), os.path.join(d, "events.parquet"))
 
     yield d
