@@ -81,7 +81,8 @@ def _coarse_shards(multiple: int = 4, floor: int = 1) -> int:
 
 
 def _shard_col(col, n_shards: int) -> "pa.Array":
-    """int32 coarse shard of a non-negative int64 key column.
+    """int32 coarse shard of an int64 key column (signed keys fine: the
+    two's-complement low-bit mask is uniform either way).
 
     ``n_shards`` must be a power of two (callers use :func:`_coarse_shards`)
     — ONE implementation so the mask/cast idiom can't drift between the
