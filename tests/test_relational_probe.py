@@ -98,16 +98,21 @@ def probe_dir(tmp_path_factory):
     # events exactly 1h apart (RANGE window includes the == boundary)
     # event 8 carries null event_type AND null value: the hourly rollup
     # must keep it as the '' group with 0 contribution (pandas would
-    # silently drop a NaN group key; SQL keeps NULL)
+    # silently drop a NaN group key; SQL keeps NULL).  User 7 has NO orders
+    # at all and user 4's only order is AFTER its event — both exercise the
+    # as-of join's unmatched branch (the shipped testdata never does).
+    # event 11: user 2 BEFORE its only order (order exists, but later)
     pq.write_table(pa.table({
-        "event_id": pa.array(list(range(1, 9)), pa.int64()),
+        "event_id": pa.array(list(range(1, 12)), pa.int64()),
         "ts": [_ts(0), _ts(30), _ts(60.02), _ts(0),
-               _ts(0), _ts(60), _ts(120), _ts(5)],
-        "user_id": pa.array([1, 1, 1, 2, 3, 3, 3, 2], pa.int64()),
-        "event_type": pa.array(["a", "b", "a", "c", "a", "a", "b", None]),
-        "value": pa.array([1.0005, 2.0, 3.0, 4.0, 5.0, 6.0005, 7.0, None],
-                          pa.float64()),
-        "props": ["{}"] * 8,
+               _ts(0), _ts(60), _ts(120), _ts(5),
+               _ts(-60 * 24 * 30), _ts(10), _ts(-60 * 24 * 10)],
+        "user_id": pa.array([1, 1, 1, 2, 3, 3, 3, 2, 4, 7, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "c", "a", "a", "b", None,
+                                "a", "b", "c"]),
+        "value": pa.array([1.0005, 2.0, 3.0, 4.0, 5.0, 6.0005, 7.0, None,
+                           8.0, 9.0, 10.0], pa.float64()),
+        "props": ["{}"] * 11,
     }), os.path.join(d, "events.parquet"))
 
     yield d
