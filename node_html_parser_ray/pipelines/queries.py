@@ -340,6 +340,11 @@ def q_ann_topk(sf_dir: str):
     # small-side lookup: read the single query vector directly (no Ray scan),
     # broadcast it once with ray.put
     qt = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", 0)])
+    if qt.num_rows == 0:  # empty table / missing query vector
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["rank", "vec_id"],
+        )
     q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
     q_ref = ray.put(q)
     candidates = ds.map_batches(
@@ -384,6 +389,11 @@ def q_ann_topk_ivf(sf_dir: str):
     # driver read (at 100 TB that read is the scale-killer IVF exists to
     # avoid; round-1 verdict #2)
     pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:  # empty table: nothing to quantize
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["rank", "vec_id"],
+        )
     sample = pf.read_row_group(0, columns=["embedding"])
     sample_mat = np.asarray(
         sample.column("embedding").to_pylist()[:2048], dtype=np.float32
@@ -2057,6 +2067,12 @@ def q_vocab_topk(sf_dir: str):
         return batch.take(idx)
 
     top = g.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if top.empty:  # zero-row corpus: empty groupby yields a columnless frame
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.string()),
+             pa.array([], pa.int64())],
+            names=["rank", "word", "n"],
+        )
     top["n"] = top["n"].astype("int64")
     top = top.sort_values(["n", "word"], ascending=[False, True]).head(50)
     top = top.reset_index(drop=True)
@@ -2096,6 +2112,13 @@ def q_length_quantiles(sf_dir: str):
     ).aggregate(Sum("part_n"))
 
     hist = g.to_pandas()
+    if hist.empty:  # zero-row corpus
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["lang", "n_docs", "p50", "p90", "p99"],
+        )
     hist.columns = ["lang", "n_chars", "n"]
     import math
 
@@ -2220,6 +2243,12 @@ def q_sequence_packing(sf_dir: str):
     # scan of the tiny totals table -> broadcast offsets
     def partial_totals(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        if df.empty:  # zero-row corpus: Ray surfaces columnless blocks
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["shard", "range_id", "part_tok"],
+            )
         g = df.groupby(["shard", "range_id"], as_index=False).agg(
             part_tok=("n_tokens", "sum")
         )
@@ -2230,8 +2259,14 @@ def q_sequence_packing(sf_dir: str):
         .groupby(["shard", "range_id"])
         .aggregate(Sum("part_tok"))
         .to_pandas()  # bounded: one row per (shard, doc_id-range)
-        .sort_values(["shard", "range_id"])
     )
+    if totals.empty:  # zero-row corpus: columnless aggregate frame
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int32()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["shard", "pack_id", "n_docs", "n_tokens"],
+        )
+    totals = totals.sort_values(["shard", "range_id"])
     tot_col = totals["sum(part_tok)"].astype("int64")
     offset = totals.groupby("shard")["sum(part_tok)"].cumsum().astype("int64") - tot_col
     # broadcast as SORTED parallel numpy arrays (zero-copy plasma reads in
@@ -2425,7 +2460,13 @@ def q_kmeans_clusters(sf_dir: str):
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = pq.ParquetFile(path).read_row_group(0, columns=["embedding"])
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_rows == 0:  # empty table: no clusters
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int32()), pa.array([], pa.int64())],
+            names=["cluster", "n_members"],
+        )
+    sample = pf.read_row_group(0, columns=["embedding"])
     mat = np.asarray(sample.column("embedding").to_pylist()[:512], dtype=np.float32)
     k = 8
     init = mat[np.linspace(0, len(mat) - 1, k).astype(np.int64)]

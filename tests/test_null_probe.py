@@ -98,3 +98,42 @@ def test_query_matches_oracle_on_adversarial_corpus(ray_session, probe_dir, name
     assert len(got) == len(want), (name, len(got), len(want))
     assert sorted(got.columns) == sorted(want.columns), name
     assert _value_rows(got) == _value_rows(want), name
+
+
+class TestEmptyCorpus:
+    """Zero-row tables (an empty partition/shard in production) must yield
+    empty results, never crash — columnless empty frames from Ray's
+    aggregate layer were a recurring crash class."""
+
+    @pytest.fixture(scope="class")
+    def empty_dir(self, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("empty_probe"))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+        pq.write_table(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }), os.path.join(d, "embeddings.parquet"))
+        yield d
+        shutil.rmtree(d, ignore_errors=True)
+
+    @pytest.mark.parametrize("name", _PROBE_QUERIES + [
+        "minhash_neardup", "minhash_neardup_verified", "simhash_neardup",
+        "interleaved_media_features", "media_features", "audio_features",
+        "frame_pipeline", "embedding_neardup", "ann_topk", "ann_topk_ivf",
+        "kmeans_clusters",
+    ])
+    def test_empty_corpus_yields_empty(self, ray_session, empty_dir, name):
+        import pandas as pd
+
+        from node_html_parser_ray.pipelines.queries import QUERIES
+
+        r = QUERIES[name](empty_dir)
+        n = len(r) if isinstance(r, (pd.DataFrame, pa.Table)) else r.count()
+        assert n == 0
