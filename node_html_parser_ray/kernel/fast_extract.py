@@ -282,8 +282,10 @@ def extract_spans_into(
                 if media_map:
                     idx = attrs.get(_MEDIA_PLACEHOLDER_ATTR)
                     # document-controlled value: only well-formed small ints
-                    # resolve (a wild doc carrying the attr must not crash)
-                    if idx is not None and idx.isdigit() and len(idx) <= 9:
+                    # resolve (a wild doc carrying the attr must not crash).
+                    # isascii() is required: isdigit() accepts codepoints
+                    # like '²' that int() rejects.
+                    if idx is not None and idx.isascii() and idx.isdigit() and len(idx) <= 9:
                         placeholder = media_map.get(int(idx))
                 if placeholder is not None:
                     kind, text, media_ref = placeholder

@@ -93,6 +93,17 @@ def _shard_col(col, n_shards: int) -> "pa.Array":
     )
 
 
+def _round_half_away(col, scale: float) -> "pa.Array":
+    """DuckDB-style ``ROUND(col * scale)`` as int64: half AWAY FROM ZERO.
+
+    ``floor(x + 0.5)`` only matches ROUND for non-negative x (-2.5 would
+    round to -2 instead of -3), so apply the idiom to ``abs`` and reapply
+    the sign — correct for unconstrained doubles like ``events.value``.
+    """
+    mag = pc.floor(pc.add(pc.multiply(pc.abs(col), scale), 0.5))
+    return pc.cast(pc.multiply(mag, pc.sign(pc.cast(col, pa.float64()))), pa.int64())
+
+
 def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
     """Drop zero-row/zero-column blocks before ``pa.concat_tables``.
 
@@ -295,12 +306,16 @@ def q_events_hourly(sf_dir: str):
         import pandas as pd
 
         df = batch.to_pandas()
-        # null event_type is a real group ('' on both sides); a null value
-        # contributes 0 to the sum (pandas would silently DROP the NaN
-        # group key where SQL keeps NULL)
+        # null event_type / null ts are real groups ('' on both sides); a
+        # null value contributes 0 to the sum (pandas would silently DROP a
+        # NaN/NaT group key where SQL keeps NULL)
         df["event_type"] = df["event_type"].fillna("")
         df["value"] = df["value"].fillna(0.0)
-        df["window_start"] = df["ts"].dt.floor("h")
+        # stringify the window key HERE so the null-key convention ('' on
+        # both sides) covers timestamps too: NaT strftime -> NaN -> ''
+        df["window_start"] = (
+            df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S").fillna("")
+        )
         g = (
             df.groupby(["event_type", "window_start"], as_index=False)
             .agg(part_n=("value", "size"), part_sum=("value", "sum"))
@@ -315,15 +330,16 @@ def q_events_hourly(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["event_type", "window_start", "n_events", "sum_raw"])
-        # half-AWAY like DuckDB ROUND (pc.round is half-to-even; repo
-        # convention: floor(x*scale + 0.5) for non-negative sums)
-        milli = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch.column("sum_raw"), 1000.0), 0.5)),
-            pa.int64(),
-        )
-        ws = pc.strftime(batch.column("window_start"), format="%Y-%m-%d %H:%M:%S")
+        # sign-aware half-AWAY like DuckDB ROUND (value is an unconstrained
+        # double, so negative hourly sums must round away from zero too)
+        milli = _round_half_away(batch.column("sum_raw"), 1000.0)
         return pa.Table.from_arrays(
-            [batch.column("event_type"), ws, pc.cast(batch.column("n_events"), pa.int64()), milli],
+            [
+                batch.column("event_type"),
+                batch.column("window_start"),
+                pc.cast(batch.column("n_events"), pa.int64()),
+                milli,
+            ],
             names=["event_type", "window_start", "n_events", "sum_value_milli"],
         )
 
@@ -503,11 +519,8 @@ def q_orders_by_nation(sf_dir: str):
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["n_name", "n_orders", "sum_raw"])
-        # half-AWAY like DuckDB ROUND (pc.round is half-to-even)
-        milli = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch.column("sum_raw"), 100.0), 0.5)),
-            pa.int64(),
-        )
+        # sign-aware half-AWAY like DuckDB ROUND (pc.round is half-to-even)
+        milli = _round_half_away(batch.column("sum_raw"), 100.0)
         return pa.Table.from_arrays(
             [
                 batch.column("n_name"),
@@ -2797,7 +2810,8 @@ ORACLE_SQL = {
     """,
     "events_hourly": """
         SELECT COALESCE(event_type, '') AS event_type,
-               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), '')
+                 AS window_start,
                COUNT(*) AS n_events,
                CAST(ROUND(SUM(COALESCE(value, 0)) * 1000) AS BIGINT) AS sum_value_milli
         FROM events GROUP BY 1, 2

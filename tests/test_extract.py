@@ -153,7 +153,12 @@ class TestPlaceholderAttrRobustness:
         html, media_map = assemble_document(
             ["html", "image"],
             ['<img data-nhpr-media=zzz src="/a.png">'
-             '<img data-nhpr-media=99999999999999999999 src="/b.png">x', ""],
+             '<img data-nhpr-media=99999999999999999999 src="/b.png">'
+             # isdigit()-true but int()-rejected: superscript two
+             '<img data-nhpr-media=² src="/c.png">'
+             # non-ASCII decimals: int() would accept these with different
+             # semantics; the guard must not resolve them
+             '<img data-nhpr-media=٠ src="/d.png">x', ""],
             ["", "media://d/0"],
             [0, 1],
         )

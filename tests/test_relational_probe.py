@@ -157,6 +157,44 @@ def test_relational_query_matches_oracle_on_boundaries(ray_session, probe_dir, n
     assert _value_rows(got) == _value_rows(want), name
 
 
+class TestEventsHourlyNullTsAndNegativeSum:
+    def test_null_ts_group_kept_and_negative_half_rounds_away(
+        self, ray_session, tmp_path
+    ):
+        """A null ts must survive as the '' window group (pandas groupby
+        silently drops NaT keys; SQL keeps NULL), and a negative hourly sum
+        landing exactly on a half-milli must round AWAY from zero like
+        DuckDB ROUND (-2.5 milli -> -3, not floor(-2.5+0.5) = -2)."""
+        import pandas as pd
+
+        from node_html_parser_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        d = str(tmp_path)
+        pq.write_table(pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([_ts(0), None, _ts(0), dt.datetime(2001, 1, 1)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "neg"]),
+            "value": pa.array([1.0, 2.0, 3.0, -0.0025], pa.float64()),
+            "props": ["{}"] * 4,
+        }), os.path.join(d, "events.parquet"))
+
+        got = QUERIES["events_hourly"](d)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet("
+            f"'{d}/events.parquet')"
+        )
+        want = con.execute(ORACLE_SQL["events_hourly"]).df()
+        assert _value_rows(got) == _value_rows(want)
+        neg = got[got["event_type"] == "neg"]
+        assert neg["sum_value_milli"].tolist() == [-3]
+        assert (got["window_start"] == "").sum() == 1
+
+
 class TestEmbeddingProbe:
     def test_ann_topk_ties_zero_vector_and_small_n(self, ray_session, tmp_path):
         """Cosine ties (duplicate + scaled copies of the query), a zero-norm
