@@ -23,10 +23,18 @@ from ..stages.multimodal import MediaDecodeStage, fake_payload_batch
 __all__ = ["QUERIES", "ORACLE_SQL", "entry_pipeline"]
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: list[str] | None = None):
+    """Read the documents table, pruning to ``columns`` at the scan.
+
+    Every caller passes the minimal column set it consumes — at 100 TB an
+    unpruned scan ships `lang`/`source`/`n_chars` through the object store
+    for pipelines that only touch (doc_id, text).
+    """
     import ray
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
 
 
 def _pool(frac: int = 4) -> tuple[int, int]:
@@ -184,7 +192,7 @@ def q_structured_text(sf_dir: str):
             [doc_ids, pa.array(out, pa.string())], names=["doc_id", "s_text"]
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_media_refs(sf_dir: str):
@@ -203,7 +211,7 @@ def q_media_refs(sf_dir: str):
             names=["doc_id", "media_ref"],
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_text_spans(sf_dir: str):
@@ -232,7 +240,7 @@ def q_text_spans(sf_dir: str):
             names=["doc_id", "n_text_spans", "first_span"],
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_doc_stats_by_lang(sf_dir: str):
@@ -247,7 +255,7 @@ def q_doc_stats_by_lang(sf_dir: str):
         )
 
     g = (
-        _docs(sf_dir).map_batches(fill, batch_format="pyarrow")
+        _docs(sf_dir, columns=["lang", "n_chars"]).map_batches(fill, batch_format="pyarrow")
         .groupby("lang").aggregate(Count(), Sum("n_chars"))
     )
 
@@ -258,17 +266,17 @@ def q_doc_stats_by_lang(sf_dir: str):
 
 
 def q_token_counts(sf_dir: str):
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.token_stats_batch, batch_format="pyarrow"
     )
 
 
 def q_quality(sf_dir: str):
-    return _docs(sf_dir).map_batches(textstats.quality_batch, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(textstats.quality_batch, batch_format="pyarrow")
 
 
 def q_lang_id(sf_dir: str):
-    return _docs(sf_dir).map_batches(textstats.langid_batch, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(textstats.langid_batch, batch_format="pyarrow")
 
 
 def q_exact_dedup(sf_dir: str):
@@ -279,7 +287,13 @@ def q_exact_dedup(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Min
 
-    ds = _docs(sf_dir).map_batches(dedup.add_text_hash, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        # drop text BEFORE the shuffle: the groupby moves only (id, 16B key)
+        lambda b: dedup.add_text_hash(b).select(
+            ["doc_id", "text_hash", "text_hash_lo"]
+        ),
+        batch_format="pyarrow",
+    )
     g = ds.groupby(["text_hash", "text_hash_lo"]).aggregate(Min("doc_id"), Count())
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1273,7 +1287,7 @@ def q_partition_metrics(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
     out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
     out = out.map_batches(
         lambda b: extract_stage.add_partition_column(b, num_partitions=8),
@@ -1336,12 +1350,12 @@ def q_dom_api(sf_dir: str):
             names=["doc_id", "n_structure_lines", "n_json_children", "n_children_after_rw"],
         )
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_extract_interleaved(sf_dir: str):
     """Flagship: interleaved docs -> extracted spans (rows-only check)."""
-    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
     out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -1365,7 +1379,7 @@ def q_extract_interleaved(sf_dir: str):
 def q_selectors(sf_dir: str):
     """SelectorStage actor pool over synthesized HTML docs (rows-only)."""
     selectors = ["div.c", "img", "[src^=\"/img/\"]", "div.c img, .missing", "*"]
-    ds = _docs(sf_dir).map_batches(_wrap_html_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_wrap_html_batch, batch_format="pyarrow")
     out = ds.map_batches(
         selector_stage.SelectorStage,
         fn_constructor_kwargs={"selectors": selectors, "emit_text": False},
@@ -1395,7 +1409,7 @@ def q_selector_counts_columnar(sf_dir: str):
         nodes = explode_nodes_batch(_wrap_html_batch(batch))
         return selector_counts(nodes, parts)
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
 def q_boilerplate(sf_dir: str):
@@ -1415,7 +1429,7 @@ def q_boilerplate(sf_dir: str):
             names=["doc_id", "html"],
         )
 
-    ds = _docs(sf_dir).map_batches(synth, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(synth, batch_format="pyarrow")
     out = ds.map_batches(
         classify.BoilerplateClassifier,
         batch_format="pyarrow",
@@ -1437,7 +1451,7 @@ def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification."""
     import ray
 
-    ds = _docs(sf_dir).map_batches(
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: dedup.minhash_signatures_batch(b), batch_format="pyarrow"
     )
     # band-shard count scales with the cluster (floor 1024 keeps per-shard
@@ -1573,7 +1587,7 @@ def q_minhash_neardup_verified(sf_dir: str):
             names=["lookup", "text", "doc_a", "doc_b"],
         )
 
-    corpus_side = _docs(sf_dir).map_batches(
+    corpus_side = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         cand_filter, fn_kwargs={"ref": bits_ref}, batch_format="pyarrow"
     )
 
@@ -1679,7 +1693,7 @@ def q_pdf_extract(sf_dir: str):
             names=["doc_id", "pdf"],
         )
 
-    ds = _docs(sf_dir).map_batches(to_pdf, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(to_pdf, batch_format="pyarrow")
     lo, hi = _pool()
     out = ds.map_batches(
         layout.PdfExtractStage,
@@ -1704,7 +1718,7 @@ def q_pdf_extract(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
-    return _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(dedup.simhash_batch, batch_format="pyarrow")
 
 
 def q_simhash_neardup(sf_dir: str):
@@ -1717,7 +1731,7 @@ def q_simhash_neardup(sf_dir: str):
     import ray
     from ray.data.aggregate import Min
 
-    sim = _docs(sf_dir).map_batches(dedup.simhash_batch, batch_format="pyarrow")
+    sim = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(dedup.simhash_batch, batch_format="pyarrow")
     band_shards = _coarse_shards(floor=1024)  # scales with the cluster
 
     # band rows carry the full code along so the verifier needs no join back
@@ -1745,7 +1759,7 @@ def q_simhash_neardup(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    return _docs(sf_dir).map_batches(
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         textstats.fingerprint_batch, batch_format="pyarrow"
     )
 
@@ -1796,7 +1810,7 @@ def q_media_features(sf_dir: str):
             names=["media_ref", "kind"],
         )
 
-    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     return ds.map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=_pool()
@@ -1816,7 +1830,7 @@ def q_interleaved_media_features(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
     out = ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -1910,7 +1924,7 @@ def q_audio_features(sf_dir: str):
             names=["media_ref"],
         )
 
-    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     return ds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=32,
@@ -1930,7 +1944,7 @@ def q_frame_pipeline(sf_dir: str):
             names=["media_ref"],
         )
 
-    ds = _docs(sf_dir).map_batches(refs, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
     frames = ds.map_batches(
         FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
@@ -3013,5 +3027,5 @@ ORACLE_SQL["fingerprints"] = f"""
 
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
     """Flagship pipeline for the driver smoke check: interleaved extraction."""
-    ds = _docs(sf_dir).map_batches(_interleaved_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
     return ds.map_batches(extract_stage.extract_batch, batch_format="pyarrow")
