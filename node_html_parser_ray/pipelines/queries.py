@@ -129,41 +129,91 @@ def _nonempty(tables: list[pa.Table]) -> list[pa.Table]:
 
 
 def _wrap_html_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) -> (doc_id, html): text in a div + per-doc img tag."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    htmls = [
-        f'<div class="c">{t or ""}</div><img src="/img/{d}.png" alt="">'
-        for d, t in zip(doc_ids, texts)
-    ]
+    """(doc_id, text) -> (doc_id, html): text in a div + per-doc img tag.
+
+    Fully vectorized (one ``binary_join_element_wise`` concat per batch) —
+    this synthesis feeds five driver queries including the marquee
+    interleaved flow, so a per-row Python loop here was hot-path waste.
+    """
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    texts = pc.fill_null(batch.column("text"), "")
+    htmls = pc.binary_join_element_wise(
+        '<div class="c">', texts, '</div><img src="/img/', ids, '.png" alt="">',
+        "",
+    )
     return pa.Table.from_arrays(
-        [pa.array([str(d) for d in doc_ids], pa.string()),
-         pa.array(htmls, pa.large_string())],
-        names=["doc_id", "html"],
+        [ids, pc.cast(htmls, pa.large_string())], names=["doc_id", "html"]
     )
 
 
 def _interleaved_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, text) -> interleaved input spans (html + media), deterministic."""
-    from ..sources.corpus import INPUT_SCHEMA
+    """(doc_id, text) -> interleaved input spans (html + media), deterministic.
 
-    rows = []
-    for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-        did = str(d)
-        n_media = int(d) % 3
-        spans = [
-            {"kind": "html", "text": f'<section><h1>t{did}</h1><p>{t or ""}</p>', "media_ref": "", "offset": 0},
+    Emits the list<struct> column from flat child arrays + offsets (the
+    same shape extract_batch emits) instead of per-row span dicts.  Per doc
+    ``d`` the sequence is: one html head span, ``int(d) % 3`` media spans
+    (image/video/embed, caption ``cap{k}``, ref ``media://{d}/{k}``), one
+    html tail span.
+    """
+    from ..sources.corpus import INPUT_SCHEMA, SPAN_STRUCT
+
+    n = batch.num_rows
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    texts = pc.fill_null(batch.column("text"), "")
+    ids_i = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+
+    n_media = (ids_i % 3).astype(np.int64)
+    counts = n_media + 2
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.arange(total, dtype=np.int64) - offsets[:-1][doc_idx]
+    is_first = pos == 0
+    is_last = pos == counts[doc_idx] - 1
+    is_media = ~(is_first | is_last)
+
+    # kind: dictionary take — codes 0..2 = media kind by position, 3 = html
+    kind_codes = np.where(is_media, np.clip(pos - 1, 0, 2), 3)
+    kinds = pa.array(["image", "video", "embed", "html"], pa.string()).take(
+        pa.array(kind_codes, pa.int64())
+    )
+
+    # text: doc-level head texts + 3 caption constants + 1 tail constant,
+    # gathered into flat order with one take
+    head_texts = pc.binary_join_element_wise(
+        "<section><h1>t", ids, "</h1><p>", texts, "</p>", ""
+    )
+    text_pool = pa.concat_arrays(
+        [
+            pc.cast(head_texts, pa.large_string()).combine_chunks(),
+            pa.array(["cap0", "cap1", "cap2", "<p>tail</p></section>"],
+                     pa.large_string()),
         ]
-        off = 1
-        for k in range(n_media):
-            spans.append(
-                {"kind": ("image", "video", "embed")[k], "text": f"cap{k}",
-                 "media_ref": f"media://{did}/{k}", "offset": off}
-            )
-            off += 1
-        spans.append({"kind": "html", "text": "<p>tail</p></section>", "media_ref": "", "offset": off})
-        rows.append({"doc_id": did, "spans": spans})
-    return pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+    )
+    text_idx = np.where(
+        is_first, doc_idx, np.where(is_media, n + np.clip(pos - 1, 0, 2), n + 3)
+    )
+    span_texts = text_pool.take(pa.array(text_idx, pa.int64()))
+
+    # media_ref: media://{doc}/{k} on media spans, "" on html spans
+    flat_ids = ids.combine_chunks().take(pa.array(doc_idx, pa.int64()))
+    k_str = pa.array(["0", "1", "2"], pa.string()).take(
+        pa.array(np.clip(pos - 1, 0, 2), pa.int64())
+    )
+    refs = pc.if_else(
+        pa.array(is_media),
+        pc.binary_join_element_wise("media://", flat_ids, "/", k_str, ""),
+        "",
+    )
+
+    span_struct = pa.StructArray.from_arrays(
+        [kinds, span_texts, refs, pa.array(pos, pa.int32())],
+        fields=list(SPAN_STRUCT),
+    )
+    spans_col = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), span_struct
+    )
+    return pa.Table.from_arrays([ids, spans_col], schema=INPUT_SCHEMA)
 
 
 # --------------------------- oracle-checked queries ------------------------

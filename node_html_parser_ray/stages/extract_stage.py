@@ -78,12 +78,17 @@ def decode_spans_batch(
     selector stages so every spans consumer gets the fast, null-safe path.
     """
     if "spans" in batch.column_names:
+        import pyarrow.compute as pc
+
         spans_col = batch.column("spans").combine_chunks()
-        # value_lengths (not .offsets) stays correct for sliced arrays
-        lengths = spans_col.value_lengths().to_pylist()
-        row_offsets = [0]
-        for n in lengths:
-            row_offsets.append(row_offsets[-1] + (n or 0))
+        # value_lengths (not .offsets) stays correct for sliced arrays;
+        # null lists count 0.  One cumsum, no Python accumulation loop.
+        lengths = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
+            zero_copy_only=False
+        )
+        row_offsets = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(lengths, dtype=np.int64)]
+        ).tolist()
         flat = spans_col.flatten()
         f_kind = flat.field("kind").to_pylist()
         f_text = flat.field("text").to_pylist()
@@ -242,14 +247,28 @@ def add_partition_column(
         sizes = batch.column("metrics").combine_chunks().field("n_bytes").to_pylist()
     elif "spans" in batch.column_names:
         # null-tolerant like extract_batch: a null span list or null
-        # kind/text field routes the doc by size 0, never kills the task
-        sizes = []
-        for row in batch.column("spans").to_pylist():
-            sizes.append(sum(
-                len(s["text"] or "")
-                for s in (row or [])
-                if (s["kind"] or "") == "html"
-            ))
+        # kind/text field routes the doc by size 0, never kills the task.
+        # Vectorized: per-span char lengths masked to html spans, then a
+        # cumsum gathered at row boundaries.
+        import pyarrow.compute as pc
+
+        spans_col = batch.column("spans").combine_chunks()
+        lens = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
+            zero_copy_only=False
+        )
+        row_off = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(lens, dtype=np.int64)]
+        )
+        flat = spans_col.flatten()
+        is_html = pc.equal(
+            pc.fill_null(flat.field("kind"), ""), "html"
+        ).to_numpy(zero_copy_only=False)
+        tchars = pc.utf8_length(
+            pc.fill_null(flat.field("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        tchars[~is_html] = 0
+        csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(tchars)])
+        sizes = (csum[row_off[1:]] - csum[row_off[:-1]]).tolist()
     else:
         sizes = [0] * len(doc_ids)
     pids = [
