@@ -1982,6 +1982,52 @@ def q_audio_features(sf_dir: str):
     ).select_columns(["media_ref", "duration_ms", "sample_rate", "n_windows"])
 
 
+def q_av_features(sf_dir: str):
+    """Image + audio feature stages in one driver row: both actor-pool
+    decode pipelines run (shared fake-payload plumbing), widened to one
+    schema with a ``modality`` discriminator and unioned (rows-only —
+    stub codecs).  One entry so BOTH multimodal stages keep driver
+    evidence within the 50-row correctness budget (round-3 verdict #4)."""
+
+    def widen_media(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                pa.array(["image"] * n, pa.string()),
+                pc.cast(batch.column("width"), pa.int64()),
+                pc.cast(batch.column("height"), pa.int64()),
+                pc.cast(batch.column("n_bytes"), pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+            ],
+            names=["media_ref", "modality", "width", "height", "n_bytes",
+                   "duration_ms", "sample_rate", "n_windows"],
+        )
+
+    def widen_audio(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch.column("media_ref"),
+                pa.array(["audio"] * n, pa.string()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pa.nulls(n, pa.int64()),
+                pc.cast(batch.column("duration_ms"), pa.int64()),
+                pc.cast(batch.column("sample_rate"), pa.int64()),
+                pc.cast(batch.column("n_windows"), pa.int64()),
+            ],
+            names=["media_ref", "modality", "width", "height", "n_bytes",
+                   "duration_ms", "sample_rate", "n_windows"],
+        )
+
+    media = q_media_features(sf_dir).map_batches(widen_media, batch_format="pyarrow")
+    audio = q_audio_features(sf_dir).map_batches(widen_audio, batch_format="pyarrow")
+    return media.union(audio)
+
+
 def q_frame_pipeline(sf_dir: str):
     """Multimodal chain: payload -> frame-sample (1 row per frame, flat-map
     shape) -> per-frame resize -> per-video frame accounting (rows-only)."""
@@ -2674,13 +2720,15 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pdf_extract": q_pdf_extract,
-    "minhash_neardup": q_minhash_neardup,
+    # minhash_neardup is not registered: its plan re-runs verbatim as the
+    # candidate stage inside minhash_neardup_verified (round-3 verdict #4),
+    # and q_minhash_neardup stays covered by tests/test_pipeline.py.
     "minhash_neardup_verified": q_minhash_neardup_verified,
     "simhash_neardup": q_simhash_neardup,
     "fingerprints": q_fingerprints,
     "embedding_neardup": q_embedding_neardup,
-    "media_features": q_media_features,
-    "audio_features": q_audio_features,
+    # image+audio stages merged into one row so both fit the driver budget
+    "av_features": q_av_features,
 }
 
 # DuckDB oracles (tables pre-registered as views).  RE2 regex on both sides

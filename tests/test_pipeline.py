@@ -925,7 +925,7 @@ class TestNearDupEndToEndExactness:
 
         import pyarrow.parquet as pq
 
-        from node_html_parser_ray.pipelines.queries import QUERIES
+        from node_html_parser_ray.pipelines.queries import q_minhash_neardup
         from node_html_parser_ray.stages.dedup import (
             lsh_band_rows,
             minhash_signatures_batch,
@@ -934,7 +934,7 @@ class TestNearDupEndToEndExactness:
         sf = "/root/testdata/sf0.001"
         got = {
             (r["doc_a"], r["doc_b"]): r["n_bands"]
-            for r in QUERIES["minhash_neardup"](sf).take_all()
+            for r in q_minhash_neardup(sf).take_all()
         }
         t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
         bands = lsh_band_rows(minhash_signatures_batch(t))
@@ -1036,7 +1036,10 @@ class TestMinhashVerified:
     def test_verified_pairs_have_high_jaccard(self, ray_session):
         """Stage-2 verification: every emitted pair's exact Jaccard >= 0.7
         and recomputing it driver-side agrees."""
-        from node_html_parser_ray.pipelines.queries import QUERIES
+        from node_html_parser_ray.pipelines.queries import (
+            QUERIES,
+            q_minhash_neardup,
+        )
         from node_html_parser_ray.stages.dedup import pairwise_jaccard
 
         import pandas as pd
@@ -1044,7 +1047,7 @@ class TestMinhashVerified:
 
         sf = "/root/testdata/sf0.001"
         df = QUERIES["minhash_neardup_verified"](sf).to_pandas()
-        cand = QUERIES["minhash_neardup"](sf).to_pandas()
+        cand = q_minhash_neardup(sf).to_pandas()
         assert len(df) <= len(cand)
         if len(df):
             t = pq.read_table(sf + "/documents.parquet",
