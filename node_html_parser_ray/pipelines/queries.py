@@ -3123,6 +3123,45 @@ ORACLE_SQL["fingerprints"] = f"""
 """
 
 
+# minhash_neardup_verified oracle: at driver scale (sf0.01, 500 short docs)
+# DuckDB can afford brute-force ALL-PAIRS exact 5-shingle Jaccard, which
+# equals the two-stage LSH pipeline's output iff LSH recall is 1.0 on this
+# corpus.  That premise is empirically solid: the minimum true Jaccard among
+# ground-truth pairs here is 0.93, where the 8-band/16-row banding scheme's
+# miss probability is (1 - 0.93^16)^8 ~ 2e-6 — and
+# tests/test_pipeline.py::test_minhash_verified_equals_brute_force pins the
+# pipeline's pair set AND bit-exact jaccard doubles against this same
+# brute-force definition.  The shingle grammar mirrors
+# dedup.pairwise_jaccard (k=5 codepoint shingles; a doc shorter than k
+# contributes its whole text as one shingle — the greatest(.., 1) term; ''
+# yields the single shingle '').  Division of identical int64 counts gives
+# bit-identical float64 on both sides.
+ORACLE_SQL["minhash_neardup_verified"] = """
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text, '') AS text
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(j AS INTEGER), 5) AS s
+      FROM docs, LATERAL (
+        SELECT unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS j
+      ) t
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT inter.doc_a, inter.doc_b,
+           CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = inter.doc_a
+    JOIN cnt cb ON cb.doc_id = inter.doc_b
+    WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.7
+"""
+
+
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
     """Flagship pipeline for the driver smoke check: interleaved extraction."""
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")

@@ -949,6 +949,44 @@ class TestNearDupEndToEndExactness:
                     want[(docs[i], docs[j])] += 1
         assert got == dict(want)
 
+    def test_minhash_verified_equals_brute_force(self, ray_session):
+        """The two-stage LSH pipeline equals brute-force all-pairs exact
+        5-shingle Jaccard >= 0.7 — i.e. LSH recall is 1.0 on the testdata
+        (min true Jaccard here is ~0.93, band-miss probability ~2e-6).
+        This is the premise that makes ORACLE_SQL['minhash_neardup_verified']
+        (an all-pairs DuckDB query) a sound oracle for the LSH pipeline."""
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.queries import (
+            q_minhash_neardup_verified,
+        )
+        from node_html_parser_ray.stages.dedup import pairwise_jaccard
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q_minhash_neardup_verified(sf).take_all()
+        }
+        t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+        ids = [int(d) for d in t.column("doc_id").to_pylist()]
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        import numpy as np
+        import pandas as pd
+
+        ai, bi = np.triu_indices(len(ids), k=1)
+        jac = pairwise_jaccard(
+            pd.Series([texts[i] for i in ai]), pd.Series([texts[i] for i in bi])
+        )
+        want = {}
+        for a, b, j in zip(ai, bi, jac):
+            if j >= 0.7:
+                lo, hi = sorted((ids[a], ids[b]))
+                want[(lo, hi)] = j
+        assert set(got) == set(want)
+        for k in want:
+            # bit-exact: both sides divide the same int64 counts
+            assert got[k] == want[k]
+
 
 class TestDistributedKMeans:
     def test_block_split_invariance_and_coverage(self, ray_session):
