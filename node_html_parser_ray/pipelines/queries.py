@@ -1666,13 +1666,30 @@ def q_minhash_neardup_verified(sf_dir: str):
         return batch.append_column("doc_shard", shard)
 
     def attach_text(group: "pd.DataFrame") -> "pd.DataFrame":
-        texts = group[group["text"].notna()].set_index("lookup")["text"]
-        sides = group[group["text"].isna()].copy()
-        sides["text"] = sides["lookup"].map(texts)
+        # numpy searchsorted join (no pandas index machinery): corpus rows
+        # carry text, pair-side rows look it up by doc id.  A side whose doc
+        # never arrived (bloom admitted it but the corpus lacks it) keeps
+        # text=None -> jaccard 0.0 downstream, same as the old .map NaN.
+        is_corpus = group["text"].notna().to_numpy()
+        ckeys = group["lookup"].to_numpy()[is_corpus]
+        ctexts = group["text"].to_numpy()[is_corpus]
+        order = np.argsort(ckeys, kind="stable")
+        ckeys, ctexts = ckeys[order], ctexts[order]
+        sides = ~is_corpus
+        skeys = group["lookup"].to_numpy()[sides]
+        if len(ckeys):
+            pos = np.minimum(np.searchsorted(ckeys, skeys), len(ckeys) - 1)
+            found = ckeys[pos] == skeys
+            texts = np.where(found, ctexts[pos], None)
+        else:
+            texts = np.full(len(skeys), None, dtype=object)
         # the mixed group held null doc_a/doc_b on corpus rows -> float64
-        sides["doc_a"] = sides["doc_a"].astype("int64")
-        sides["doc_b"] = sides["doc_b"].astype("int64")
-        return sides[["doc_a", "doc_b", "lookup", "text"]]
+        return pd.DataFrame({
+            "doc_a": group["doc_a"].to_numpy()[sides].astype("int64"),
+            "doc_b": group["doc_b"].to_numpy()[sides].astype("int64"),
+            "lookup": skeys,
+            "text": texts,
+        })
 
     attached = (
         both.map_batches(add_doc_shard, batch_format="pyarrow")
@@ -1689,19 +1706,30 @@ def q_minhash_neardup_verified(sf_dir: str):
         return batch.append_column("pair_shard", shard)
 
     def verify(group: "pd.DataFrame") -> "pd.DataFrame":
-        g = group.sort_values(["doc_a", "doc_b", "lookup"])
-        piv = g.pivot_table(
-            index=["doc_a", "doc_b"], columns=g.groupby(["doc_a", "doc_b"]).cumcount(),
-            values="text", aggfunc="first",
+        # run-length pairing instead of a pandas pivot_table: after a lexsort
+        # by (doc_a, doc_b, lookup) each pair's two sides are adjacent, with
+        # lookup==doc_a (< doc_b) first.  A degenerate single-row pair (lost
+        # side) scores against None -> jaccard 0.0, as the pivot's NaN did.
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
+        if not len(group):
+            return empty
+        da = group["doc_a"].to_numpy().astype("int64")
+        db = group["doc_b"].to_numpy().astype("int64")
+        lk = group["lookup"].to_numpy().astype("int64")
+        order = np.lexsort((lk, db, da))
+        da, db = da[order], db[order]
+        texts = group["text"].to_numpy()[order]
+        first = np.flatnonzero(
+            np.r_[True, (da[1:] != da[:-1]) | (db[1:] != db[:-1])]
         )
-        piv = piv.reset_index()
-        if piv.shape[1] < 4:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
-        jac = dedup.pairwise_jaccard(piv[0], piv[1])
-        out = pd.DataFrame({"doc_a": piv["doc_a"].astype("int64"),
-                            "doc_b": piv["doc_b"].astype("int64"),
+        counts = np.diff(np.r_[first, len(da)])
+        ta = texts[first]
+        second = np.minimum(first + 1, len(texts) - 1)
+        tb = np.where(counts >= 2, texts[second], None)
+        jac = dedup.pairwise_jaccard(pd.Series(ta), pd.Series(tb))
+        out = pd.DataFrame({"doc_a": da[first], "doc_b": db[first],
                             "jaccard": jac})
         return out[out["jaccard"] >= 0.7]
 
