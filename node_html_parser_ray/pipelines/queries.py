@@ -2335,6 +2335,17 @@ def _pack_range_width() -> int:
     return int(env) if env else 1 << 16
 
 
+def _pack_small_rows() -> int:
+    """Corpus row count below which q_sequence_packing fuses the totals /
+    prefix-scan / merge passes into one driver-side exact cumsum (the
+    4-pass decomposition pays fixed shuffle+materialize costs that dwarf
+    small inputs — round-3 verdict #7).  The 4-col token projection is
+    ~32 B/row, so the default cap collects <=128 MB.  ``NHPR_PACK_SMALL_ROWS=0``
+    forces the bounded path (used by the invariance test)."""
+    env = os.environ.get("NHPR_PACK_SMALL_ROWS")
+    return int(env) if env is not None else 1 << 22
+
+
 def q_sequence_packing(sf_dir: str):
     """Sequence packing (training-sample assembly): documents stream in
     doc_id order within a shard into fixed token-budget packs
@@ -2382,6 +2393,40 @@ def q_sequence_packing(sf_dir: str):
         return pa.Table.from_arrays(
             [doc_id, n_tok, shard, rng],
             names=["doc_id", "n_tokens", "shard", "range_id"],
+        )
+
+    # small corpora skip the decomposition: tokenize distributed, collect
+    # the ~32 B/row projection, and run the exact per-shard cumsum on the
+    # driver — identical output (associativity), none of the fixed
+    # shuffle/materialize costs.  Row count comes from parquet METADATA
+    # (no scan); the bounded 4-pass path owns everything above the cap.
+    import pyarrow.parquet as pq_mod
+
+    n_rows = pq_mod.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")
+    ).metadata.num_rows
+    if n_rows <= _pack_small_rows():
+        df = ds.map_batches(tokens_shard_range, batch_format="pyarrow").to_pandas()
+        if df.empty:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int32()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["shard", "pack_id", "n_docs", "n_tokens"],
+            )
+        df = df.sort_values(["shard", "doc_id"])
+        prior = df.groupby("shard")["n_tokens"].cumsum() - df["n_tokens"]
+        df["pack_id"] = (prior // _PACK_BUDGET).astype("int64")
+        out = df.groupby(["shard", "pack_id"], as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["shard"].astype("int32")),
+                pa.array(out["pack_id"].astype("int64")),
+                pa.array(out["n_docs"].astype("int64")),
+                pa.array(out["n_tokens"].astype("int64")),
+            ],
+            names=["shard", "pack_id", "n_docs", "n_tokens"],
         )
 
     # the (doc_id, n_tokens, shard, range_id) projection is ~32 B/row (no

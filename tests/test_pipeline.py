@@ -1050,23 +1050,21 @@ class TestSequencePacking:
     def test_range_width_invariance(self, ray_session, monkeypatch):
         """The doc_id-range width is a parallelism knob only: outputs are
         identical under a tiny width (forcing many range-straddling packs
-        through the partial-sum + prefix-scan + merge path)."""
+        through the partial-sum + prefix-scan + merge path), and the fused
+        small-corpus driver path equals the bounded decomposition."""
         from node_html_parser_ray.pipelines.queries import QUERIES
 
-        sf = "/root/testdata/sf0.001"
-        base = (
-            QUERIES["sequence_packing"](sf)
-            .to_pandas()
-            .sort_values(["shard", "pack_id"])
-            .reset_index(drop=True)
-        )
+        def run():
+            res = QUERIES["sequence_packing"]("/root/testdata/sf0.001")
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            return df.sort_values(["shard", "pack_id"]).reset_index(drop=True)
+
+        small = run()  # sf0.001 is under the cap: fused driver path
+        monkeypatch.setenv("NHPR_PACK_SMALL_ROWS", "0")
+        base = run()  # bounded 4-pass path, default range width
         monkeypatch.setenv("NHPR_PACK_RANGE", "16")
-        narrow = (
-            QUERIES["sequence_packing"](sf)
-            .to_pandas()
-            .sort_values(["shard", "pack_id"])
-            .reset_index(drop=True)
-        )
+        narrow = run()  # bounded path, many range-straddling packs
+        assert small.equals(base)
         assert base.equals(narrow)
 
 
