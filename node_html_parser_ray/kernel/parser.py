@@ -20,7 +20,8 @@ from typing import Optional
 from .dom import CommentNode, HTMLElement, TextNode
 from .jsregex import WS, js_trim
 
-__all__ = ["parse", "ParseMetrics"]
+__all__ = ["parse", "ParseMetrics", "PATHOLOGICAL", "PATHOLOGICAL_RE2",
+           "is_pathological"]
 
 # reference src/index.ts:833 — kMarkupPattern, translated:
 #   [^]        -> [\s\S]
@@ -51,6 +52,58 @@ KMARKUP = re.compile(
     + _S + r"*(?P<selfclose>/?)>",
     re.IGNORECASE,
 )
+
+# ReDoS prescan (round-3 verdict #6): a cheap LINEAR-TIME over-approximation
+# of the inputs that can trigger kMarkupPattern's inherited backtracking
+# blowup, so pathological documents can be routed to a bounded-time parse
+# lane WITHOUT touching tokenizer semantics.  Measured growth: a truncated
+# '<a ' + 'a'*n tag takes ~7 s at n=16 and ~3x per +2 chars, so the run
+# threshold sits at 12.  The blowup only fires at a tag-open site whose
+# whole attrs+'>' match FAILS (a terminated tag matches greedily in linear
+# time — the junk branch even eats unclosed quotes as long as a '>'
+# follows), so the shapes require a failing tail:
+#   1. a tag-open whose [^<>] run reaches >=12 chars and then hits '<' or
+#      EOF instead of '>' (the truncated-crawl-page shape; an unclosed
+#      quote running to EOF is a sub-case);
+#   2. a tag-open whose first quoted value spans a '<'/'>' (legal for the
+#      quoted branch) and is never terminated by a '>' after the closing
+#      quote — give-back then re-exposes the bracket to the name/junk
+#      branches across the whole run.
+# False positives are handled by parsing in a subprocess with the SAME
+# kernel (bit-identical output, just fork latency); false negatives keep
+# the reference's own behavior.  The source is RE2-compatible so the
+# partition router can apply it vectorized (pyarrow match_substring_regex).
+# The quote shape anchors on the FIRST quote after the tag-open
+# ([^<>"']*) — without that anchor a CLOSING quote can re-anchor the
+# scan and flag every '<a href="x">tail' document (measured).
+_PATHOLOGICAL_SRC = (
+    r"<[a-zA-Z](?:[^<>]{11,}(?:<|$)"
+    r"|[^<>\"']*[\"'][^\"']*[<>][^\"']*[\"'][^<>]*(?:<|$))"
+)
+PATHOLOGICAL = re.compile(_PATHOLOGICAL_SRC)
+PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe
+
+# Stage-2 refinement: kMarkupPattern never scans INSIDE raw-text element
+# bodies (parse() jumps lastIndex past the closing tag) or comments (the
+# comment alternation consumes them atomically), so '<' runs there are
+# harmless.  Real pages are full of 'if (a<b)' script bodies, so only
+# stage-1-flagged docs pay this linear strip + re-test.
+_RAW_TEXT_STRIP = re.compile(
+    r"(?is)<(script|style|pre|noscript)\b[^>]*>[\s\S]*?</\1[^>]*>|<!--[\s\S]*?-->"
+)
+
+
+def is_pathological(html: str) -> bool:
+    """True if ``html`` matches the ReDoS over-approximation prescan.
+
+    Two linear-time stages: the cheap pattern over the raw string (almost
+    every doc exits here), then — only for stage-1 hits — the same pattern
+    over a copy with raw-text bodies and comments stripped, since the
+    tokenizer never backtracks inside those regions."""
+    if PATHOLOGICAL.search(html) is None:
+        return False
+    return PATHOLOGICAL.search(_RAW_TEXT_STRIP.sub("", html)) is not None
+
 
 # reference src/index.ts:836-847 — kSelfClosingElements (void tags).
 K_SELF_CLOSING = frozenset(

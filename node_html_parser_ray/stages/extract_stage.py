@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from ..kernel.extract import assemble_document
 from ..kernel.fast_extract import extract_spans_into
-from ..kernel.parser import ParseMetrics
+from ..kernel.parser import ParseMetrics, is_pathological
 
 __all__ = [
     "OUT_SPAN_STRUCT",
@@ -124,11 +124,95 @@ def htmls_from_batch(batch: pa.Table) -> list[str]:
     ]
 
 
+def _parse_timeout() -> float:
+    """Per-document wall bound for prescan-flagged parses (seconds).
+    ``NHPR_PARSE_TIMEOUT`` overrides; <=0 disables the bounded lane
+    (flagged docs then parse in-process, reference behavior)."""
+    import os
+
+    env = os.environ.get("NHPR_PARSE_TIMEOUT")
+    return float(env) if env else 10.0
+
+
+def _child_extract(conn, html, media_map, options) -> None:
+    """Fork-child body for the bounded parse lane: pure compute, no Ray
+    APIs (the child inherits worker state via fork but only runs the
+    kernel and writes one pickle to the pipe)."""
+    metrics = ParseMetrics()
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    n_spans, valid = extract_spans_into(
+        html, media_map, options, metrics, kinds, texts, refs
+    )
+    conn.send((
+        kinds, texts, refs, n_spans, valid,
+        (metrics.n_nodes, metrics.n_elements, metrics.n_text,
+         metrics.n_comments, metrics.n_fixups, metrics.n_bytes),
+    ))
+    conn.close()
+
+
+def _bounded_extract(html, media_map, options, timeout):
+    """Run the SAME extraction kernel in a forked subprocess with a hard
+    wall bound (the ReDoS lane — SCALE.md known-limitation, round-3
+    verdict #6).  CPython's regex engine cannot be interrupted by signals
+    mid-match, so a kill-able process is the only hard bound.  Returns the
+    child's result tuple, or None on timeout/crash.  Prescan false
+    positives come back bit-identical, just paying fork latency."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+    except ValueError:  # platform without fork: unbounded, reference behavior
+        return None if html is None else _child_inline(html, media_map, options)
+    rx, tx = ctx.Pipe(duplex=False)
+    proc = ctx.Process(
+        target=_child_extract, args=(tx, html, media_map, options), daemon=True
+    )
+    proc.start()
+    tx.close()
+    result = None
+    if rx.poll(timeout):
+        try:
+            result = rx.recv()
+        except EOFError:  # child crashed: treat like a timeout
+            result = None
+    rx.close()
+    if proc.is_alive():
+        proc.terminate()
+        proc.join(1.0)
+        if proc.is_alive():
+            proc.kill()
+    proc.join()
+    return result
+
+
+def _child_inline(html, media_map, options):
+    """Fork-less fallback: same result tuple, no time bound."""
+    metrics = ParseMetrics()
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    n_spans, valid = extract_spans_into(
+        html, media_map, options, metrics, kinds, texts, refs
+    )
+    return (kinds, texts, refs, n_spans, valid,
+            (metrics.n_nodes, metrics.n_elements, metrics.n_text,
+             metrics.n_comments, metrics.n_fixups, metrics.n_bytes))
+
+
 def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     """Parse + extract every document in an Arrow batch.
 
     Accepts either the interleaved input schema (doc_id, spans) or a plain
     (doc_id, html) schema where the whole payload is one html span.
+
+    Documents flagged by the linear-time ReDoS prescan
+    (``kernel.parser.is_pathological``) parse in a forked subprocess under
+    ``NHPR_PARSE_TIMEOUT`` seconds; on timeout they yield zero spans with
+    ``valid=False`` and ``n_bytes=len(html)`` (a dropped truncated crawl
+    page, recorded in lineage like any other invalid doc).
     """
     doc_ids = batch.column("doc_id").to_pylist()
     row_offsets, f_kind, f_text, f_ref, f_off = decode_spans_batch(batch)
@@ -151,25 +235,40 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
 
     metrics = ParseMetrics()
     total_spans = 0
+    timeout = _parse_timeout()
     for r in range(len(doc_ids)):
         lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
             f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
         )
-        # flat-array fast path: no per-node Python objects (differentially
-        # tested bit-exact vs parse+extract_spans — tests/test_fast_extract.py)
-        n_spans, valid = extract_spans_into(
-            html, media_map, options, metrics, kinds, texts, refs
-        )
+        if timeout > 0 and is_pathological(html):
+            # bounded ReDoS lane: same kernel, forked, hard wall bound
+            res = _bounded_extract(html, media_map, options, timeout)
+            if res is None:  # timed out: dropped invalid doc
+                n_spans, valid = 0, False
+                mt = (0, 0, 0, 0, 0, len(html))
+            else:
+                c_kinds, c_texts, c_refs, n_spans, valid, mt = res
+                kinds.extend(c_kinds)
+                texts.extend(c_texts)
+                refs.extend(c_refs)
+        else:
+            # flat-array fast path: no per-node Python objects (differentially
+            # tested bit-exact vs parse+extract_spans — tests/test_fast_extract.py)
+            n_spans, valid = extract_spans_into(
+                html, media_map, options, metrics, kinds, texts, refs
+            )
+            mt = (metrics.n_nodes, metrics.n_elements, metrics.n_text,
+                  metrics.n_comments, metrics.n_fixups, metrics.n_bytes)
         total_spans += n_spans
         offsets.append(total_spans)
         valids.append(valid)
-        m_nodes.append(metrics.n_nodes)
-        m_elements.append(metrics.n_elements)
-        m_text.append(metrics.n_text)
-        m_comments.append(metrics.n_comments)
-        m_fixups.append(metrics.n_fixups)
-        m_bytes.append(metrics.n_bytes)
+        m_nodes.append(mt[0])
+        m_elements.append(mt[1])
+        m_text.append(mt[2])
+        m_comments.append(mt[3])
+        m_fixups.append(mt[4])
+        m_bytes.append(mt[5])
         m_spans.append(n_spans)
 
     # order = position within the doc: one vectorized ramp from the offsets
@@ -240,6 +339,12 @@ def add_partition_column(
     giant_partitions)`` so that the heavy tail cannot skew ordinary
     partitions (north_rule skew clause).  Works on both input (sums html
     span lengths) and output (uses metrics.n_bytes) schemas.
+
+    Input-schema batches ALSO route ReDoS-prescan-flagged docs (vectorized
+    RE2 over the html span texts — a per-span over-approximation of
+    ``kernel.parser.is_pathological``) to the same salt range, so
+    bounded-time stragglers co-locate instead of sitting in ordinary
+    partitions (round-3 verdict #6).
     """
     doc_ids = batch.column("doc_id").to_pylist()
     base = partition_ids(doc_ids, num_partitions)
@@ -269,10 +374,25 @@ def add_partition_column(
         tchars[~is_html] = 0
         csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(tchars)])
         sizes = (csum[row_off[1:]] - csum[row_off[:-1]]).tolist()
+        from ..kernel.parser import PATHOLOGICAL_RE2
+
+        span_bad = pc.fill_null(
+            pc.match_substring_regex(flat.field("text"), PATHOLOGICAL_RE2),
+            False,
+        ).to_numpy(zero_copy_only=False) & is_html
+        bsum = np.concatenate(
+            [np.zeros(1, np.int64), np.cumsum(span_bad.astype(np.int64))]
+        )
+        salted = ((bsum[row_off[1:]] - bsum[row_off[:-1]]) > 0).tolist()
     else:
         sizes = [0] * len(doc_ids)
+        salted = [False] * len(doc_ids)
+    if "metrics" in batch.column_names:
+        salted = [False] * len(doc_ids)
     pids = [
-        num_partitions + (p % giant_partitions) if size > giant_bytes else p
-        for p, size in zip(base, sizes)
+        num_partitions + (p % giant_partitions)
+        if (size > giant_bytes or bad)
+        else p
+        for p, size, bad in zip(base, sizes, salted)
     ]
     return batch.append_column("partition_id", pa.array(pids, pa.int32()))

@@ -1,0 +1,157 @@
+"""ReDoS mitigation: prescan + bounded-time parse lane (round-3 verdict #6).
+
+The tokenizer inherits the reference's backtracking blowup on truncated
+ambiguous tags (kernel/parser.py comment; src/index.ts:833 explodes
+identically in V8).  The mitigation keeps tokenizer semantics untouched:
+a linear-time prescan routes suspicious docs to a forked subprocess with a
+hard wall bound; timeouts yield zero spans + valid=False.
+"""
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import pytest
+
+from node_html_parser_ray.kernel.parser import is_pathological
+from node_html_parser_ray.sources.corpus import INPUT_SCHEMA, generate_documents
+from node_html_parser_ray.stages.extract_stage import (
+    add_partition_column,
+    extract_batch,
+)
+
+# ~17 ambiguous chars already cost ~7 s and growth is ~3x per +2 chars, so
+# 40 chars is effectively unbounded without the mitigation.
+ADVERSARIAL = "<p>intro</p><a " + "a" * 40
+
+
+def _spans_row(doc_id: str, html: str) -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "html", "text": html, "media_ref": "", "offset": 0}],
+    }
+
+
+class TestPrescan:
+    def test_flags_adversarial_shapes(self):
+        for s in (
+            "<a " + "a" * 30,                      # truncated ambiguous tag
+            "<p>ok</p><a " + "b" * 40 + "<p>x",    # run ends at '<'
+            '<a x="1<2" y',                        # quoted bracket, unterminated
+            '<a x="unclosed quote to eof ' + "a" * 10,
+        ):
+            assert is_pathological(s), s
+
+    def test_clears_normal_shapes(self):
+        for s in (
+            '<a href="https://example.com/long/url?with=queryparams">x</a>',
+            '<a href="x">tail with no more quotes to end of document',
+            "plain text with a < b comparison and more words after",
+            '<div data-x="a>b">terminated quoted bracket</div>',
+            "<script>if (a<b) { run(thing, other); }</script><p>x</p>",
+            "<td>1 < 2</td>",
+        ):
+            assert not is_pathological(s), s
+
+    def test_clears_reference_fixtures(self):
+        # real-world pages (script bodies full of '<') must NOT be flagged
+        import glob
+
+        for f in glob.glob("/root/reference/test/html/*.html"):
+            s = open(f, encoding="utf-8", errors="replace").read()
+            assert not is_pathological(s), f
+
+
+class TestBoundedLane:
+    def test_adversarial_doc_is_time_bounded(self, monkeypatch):
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "1.0")
+        batch = pa.Table.from_pylist(
+            [
+                _spans_row("good-1", "<p>hello <b>world</b></p>"),
+                _spans_row("bad-1", ADVERSARIAL),
+                _spans_row("good-2", "<div>more</div>"),
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        t0 = time.time()
+        out = extract_batch(batch)
+        wall = time.time() - t0
+        assert wall < 30.0  # unbounded this would be ~millennia
+        rows = out.to_pylist()
+        bad = next(r for r in rows if r["doc_id"] == "bad-1")
+        assert bad["valid"] is False
+        assert bad["spans"] == []
+        assert bad["metrics"]["n_bytes"] == len(ADVERSARIAL)
+        # neighbours in the same batch are untouched
+        good = next(r for r in rows if r["doc_id"] == "good-1")
+        solo = extract_batch(
+            pa.Table.from_pylist(
+                [_spans_row("good-1", "<p>hello <b>world</b></p>")],
+                schema=INPUT_SCHEMA,
+            )
+        ).to_pylist()[0]
+        assert good == solo
+
+    def test_false_positive_is_bit_identical(self, monkeypatch):
+        # flagged by the prescan but parses instantly: the subprocess lane
+        # must return exactly what the in-process kernel returns
+        fp_html = '<p>before</p><a x="1<2" y'
+        assert is_pathological(fp_html)
+        batch = pa.Table.from_pylist(
+            [_spans_row("fp-1", fp_html)], schema=INPUT_SCHEMA
+        )
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "30")
+        bounded = extract_batch(batch)
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "0")  # lane disabled
+        inline = extract_batch(batch)
+        assert bounded.equals(inline)
+
+    def test_partition_router_salts_pathological(self):
+        batch = pa.Table.from_pylist(
+            [
+                _spans_row("good-1", "<p>tiny</p>"),
+                _spans_row("bad-1", ADVERSARIAL),
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        out = add_partition_column(batch, num_partitions=64)
+        pids = {
+            r["doc_id"]: r["partition_id"] for r in out.to_pylist()
+        }
+        assert pids["good-1"] < 64
+        assert pids["bad-1"] >= 64  # salted giant/pathological lane
+
+
+class TestBoundedEndToEnd:
+    def test_run_checkpointed_streams_adversarial_corpus(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """The north_rule resilience clause: a corpus containing truncated
+        pathological crawl pages streams through the checkpointed job
+        within a bounded wall time, and every doc lands in the output."""
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "1.0")
+        src = tmp_path / "src"
+        src.mkdir()
+        normal = generate_documents(30, seed=11)
+        adv = pa.Table.from_pylist(
+            [_spans_row("adv-0", ADVERSARIAL), _spans_row("adv-1", ADVERSARIAL)],
+            schema=INPUT_SCHEMA,
+        )
+        pq.write_table(normal, str(src / "part-0.parquet"))
+        pq.write_table(adv, str(src / "part-1.parquet"))
+        out = tmp_path / "out"
+        t0 = time.time()
+        summary = run_checkpointed(
+            [str(src / "part-0.parquet"), str(src / "part-1.parquet")],
+            str(out),
+            shard_count=2,
+        )
+        wall = time.time() - t0
+        assert wall < 120.0
+        assert summary["totals"]["n_docs"] == 32
+        # the two adversarial docs are recorded as invalid, not dropped
+        assert summary["totals"]["n_invalid"] >= 2
