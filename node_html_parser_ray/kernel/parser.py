@@ -18,7 +18,7 @@ import re
 from typing import Optional
 
 from .dom import CommentNode, HTMLElement, TextNode
-from .jsregex import WS, js_trim
+from .jsregex import _JS_WS_CHARS, WS, js_trim
 
 __all__ = ["parse", "ParseMetrics", "PATHOLOGICAL", "PATHOLOGICAL_RE2",
            "is_pathological"]
@@ -42,6 +42,10 @@ __all__ = ["parse", "ParseMetrics", "PATHOLOGICAL", "PATHOLOGICAL_RE2",
 # level (task-level retries/timeouts) rather than altering tokenizer
 # semantics.
 _S = f"[{WS}]"
+# '=' -> quote whitespace class for the prescan: the same JS WS set but as
+# LITERAL characters, because RE2 (pyarrow match_substring_regex in the
+# partition router) rejects \uXXXX escapes that Python re accepts.
+_WSQ = "[" + _JS_WS_CHARS + "]"
 KMARKUP = re.compile(
     r"<!--[\s\S]*?(?=-->)-->"
     r"|<(?P<close>/?)"
@@ -68,17 +72,35 @@ KMARKUP = re.compile(
 #   2. a tag-open whose first quoted value spans a '<'/'>' (legal for the
 #      quoted branch) and is never terminated by a '>' after the closing
 #      quote — give-back then re-exposes the bracket to the name/junk
-#      branches across the whole run.
+#      branches across the whole run;
+#   3. (round-4 review fix) the general form of both: a QUOTE-AWARE run —
+#      units are a non-bracket/non-quote char OR a whole quoted section
+#      (which may legally contain brackets) — reaching >=11 units and then
+#      hitting '<'/EOF instead of '>', optionally through one trailing
+#      unterminated quote.  Shape 1/2 alone missed e.g.
+#      '<a q="" w="1<2" ' + 'e'*n (pre-bracket run under 12 chars, first
+#      quoted value bracket-free): measured 1.4 s at n=12, ~3x per +2.
 # False positives are handled by parsing in a subprocess with the SAME
 # kernel (bit-identical output, just fork latency); false negatives keep
 # the reference's own behavior.  The source is RE2-compatible so the
 # partition router can apply it vectorized (pyarrow match_substring_regex).
 # The quote shape anchors on the FIRST quote after the tag-open
 # ([^<>"']*) — without that anchor a CLOSING quote can re-anchor the
-# scan and flag every '<a href="x">tail' document (measured).
+# scan and flag every '<a href="x">tail' document (measured).  Shape 3's
+# quoted units are anchored on a preceding '=' because that is KMARKUP's
+# own grammar (a quote NOT after `name=` falls to the junk branch, which
+# cannot cross brackets): without the anchor, units can re-pair a CLOSING
+# quote with the next attribute's opening quote (`;="" "=""`), leaving a
+# stray quote whose unterminated-tail group walks out of a normally
+# terminated tag (measured FP on benign attr soup).  Backtracking stays
+# effectively deterministic: at a '=' the single-char branch is tried
+# first and dies on the unconsumable quote one step later, so give-back
+# is O(1) per '=' plus the (linear) repetition count.
 _PATHOLOGICAL_SRC = (
     r"<[a-zA-Z](?:[^<>]{11,}(?:<|$)"
-    r"|[^<>\"']*[\"'][^\"']*[<>][^\"']*[\"'][^<>]*(?:<|$))"
+    r"|[^<>\"']*[\"'][^\"']*[<>][^\"']*[\"'][^<>]*(?:<|$)"
+    r"|(?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ + r"*'[^']*'){11,}"
+    r"(?:=" + _WSQ + r"*\"[^\"]*|=" + _WSQ + r"*'[^']*)?(?:<|$))"
 )
 PATHOLOGICAL = re.compile(_PATHOLOGICAL_SRC)
 PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe

@@ -136,14 +136,15 @@ def _wrap_html_batch(batch: pa.Table) -> pa.Table:
     interleaved flow, so a per-row Python loop here was hot-path waste.
     """
     ids = pc.cast(batch.column("doc_id"), pa.string())
-    texts = pc.fill_null(batch.column("text"), "")
+    # join_element_wise needs ONE string type across args; the corpus text
+    # column is large_string at scale (round-4 review), so lift everything.
+    _l = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    texts = pc.cast(pc.fill_null(batch.column("text"), ""), pa.large_string())
     htmls = pc.binary_join_element_wise(
-        '<div class="c">', texts, '</div><img src="/img/', ids, '.png" alt="">',
-        "",
+        _l('<div class="c">'), texts, _l('</div><img src="/img/'),
+        pc.cast(ids, pa.large_string()), _l('.png" alt="">'), _l(""),
     )
-    return pa.Table.from_arrays(
-        [ids, pc.cast(htmls, pa.large_string())], names=["doc_id", "html"]
-    )
+    return pa.Table.from_arrays([ids, htmls], names=["doc_id", "html"])
 
 
 def _interleaved_batch(batch: pa.Table) -> pa.Table:
@@ -159,7 +160,10 @@ def _interleaved_batch(batch: pa.Table) -> pa.Table:
 
     n = batch.num_rows
     ids = pc.cast(batch.column("doc_id"), pa.string())
-    texts = pc.fill_null(batch.column("text"), "")
+    # common large_string type for the element-wise join (round-4 review:
+    # a large_string corpus text column otherwise raises in the kernel)
+    _l = lambda s: pa.scalar(s, pa.large_string())  # noqa: E731
+    texts = pc.cast(pc.fill_null(batch.column("text"), ""), pa.large_string())
     ids_i = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
 
     n_media = (ids_i % 3).astype(np.int64)
@@ -181,11 +185,12 @@ def _interleaved_batch(batch: pa.Table) -> pa.Table:
     # text: doc-level head texts + 3 caption constants + 1 tail constant,
     # gathered into flat order with one take
     head_texts = pc.binary_join_element_wise(
-        "<section><h1>t", ids, "</h1><p>", texts, "</p>", ""
+        _l("<section><h1>t"), pc.cast(ids, pa.large_string()), _l("</h1><p>"),
+        texts, _l("</p>"), _l(""),
     )
     text_pool = pa.concat_arrays(
         [
-            pc.cast(head_texts, pa.large_string()).combine_chunks(),
+            head_texts.combine_chunks(),
             pa.array(["cap0", "cap1", "cap2", "<p>tail</p></section>"],
                      pa.large_string()),
         ]
@@ -3200,8 +3205,9 @@ ORACLE_SQL["fingerprints"] = f"""
 # DuckDB can afford brute-force ALL-PAIRS exact 5-shingle Jaccard, which
 # equals the two-stage LSH pipeline's output iff LSH recall is 1.0 on this
 # corpus.  That premise is empirically solid: the minimum true Jaccard among
-# ground-truth pairs here is 0.93, where the 8-band/16-row banding scheme's
-# miss probability is (1 - 0.93^16)^8 ~ 2e-6 — and
+# ground-truth pairs here is 0.93, where the 16-band x 8-row banding scheme
+# (stages/dedup.py: MINHASH_PERMS=128 / LSH_BANDS=16) has miss probability
+# (1 - 0.93^8)^16 ~ 2e-6 — and
 # tests/test_pipeline.py::test_minhash_verified_equals_brute_force pins the
 # pipeline's pair set AND bit-exact jaccard doubles against this same
 # brute-force definition.  The shingle grammar mirrors

@@ -25,6 +25,7 @@ import pyarrow as pa
 from ..kernel.extract import assemble_document
 from ..kernel.fast_extract import extract_spans_into
 from ..kernel.parser import ParseMetrics, is_pathological
+from ..kernel.redos_lane import RedosSidecar
 
 __all__ = [
     "OUT_SPAN_STRUCT",
@@ -134,72 +135,23 @@ def _parse_timeout() -> float:
     return float(env) if env else 10.0
 
 
-def _child_extract(conn, html, media_map, options) -> None:
-    """Fork-child body for the bounded parse lane: pure compute, no Ray
-    APIs (the child inherits worker state via fork but only runs the
-    kernel and writes one pickle to the pipe)."""
-    metrics = ParseMetrics()
-    kinds: list[str] = []
-    texts: list[str] = []
-    refs: list[str] = []
-    n_spans, valid = extract_spans_into(
-        html, media_map, options, metrics, kinds, texts, refs
-    )
-    conn.send((
-        kinds, texts, refs, n_spans, valid,
-        (metrics.n_nodes, metrics.n_elements, metrics.n_text,
-         metrics.n_comments, metrics.n_fixups, metrics.n_bytes),
-    ))
-    conn.close()
+# One persistent spawn sidecar per worker process for the bounded ReDoS
+# lane (kernel/redos_lane.py).  Round-4 review hardening: per-doc fork()
+# of the multithreaded Ray worker risked inherited-lock deadlocks that
+# present as timeouts (silent nondeterministic doc drops); the spawn
+# sidecar starts lock-free and amortizes its startup across the worker's
+# lifetime.
+_SIDECAR = RedosSidecar()
 
 
 def _bounded_extract(html, media_map, options, timeout):
-    """Run the SAME extraction kernel in a forked subprocess with a hard
-    wall bound (the ReDoS lane — SCALE.md known-limitation, round-3
+    """Run the SAME extraction kernel in the sidecar subprocess with a
+    hard wall bound (the ReDoS lane — SCALE.md known-limitation, round-3
     verdict #6).  CPython's regex engine cannot be interrupted by signals
     mid-match, so a kill-able process is the only hard bound.  Returns the
-    child's result tuple, or None on timeout/crash.  Prescan false
-    positives come back bit-identical, just paying fork latency."""
-    import multiprocessing as mp
-
-    try:
-        ctx = mp.get_context("fork")
-    except ValueError:  # platform without fork: unbounded, reference behavior
-        return None if html is None else _child_inline(html, media_map, options)
-    rx, tx = ctx.Pipe(duplex=False)
-    proc = ctx.Process(
-        target=_child_extract, args=(tx, html, media_map, options), daemon=True
-    )
-    proc.start()
-    tx.close()
-    result = None
-    if rx.poll(timeout):
-        try:
-            result = rx.recv()
-        except EOFError:  # child crashed: treat like a timeout
-            result = None
-    rx.close()
-    if proc.is_alive():
-        proc.terminate()
-        proc.join(1.0)
-        if proc.is_alive():
-            proc.kill()
-    proc.join()
-    return result
-
-
-def _child_inline(html, media_map, options):
-    """Fork-less fallback: same result tuple, no time bound."""
-    metrics = ParseMetrics()
-    kinds: list[str] = []
-    texts: list[str] = []
-    refs: list[str] = []
-    n_spans, valid = extract_spans_into(
-        html, media_map, options, metrics, kinds, texts, refs
-    )
-    return (kinds, texts, refs, n_spans, valid,
-            (metrics.n_nodes, metrics.n_elements, metrics.n_text,
-             metrics.n_comments, metrics.n_fixups, metrics.n_bytes))
+    kernel result tuple, or None on timeout/crash.  Prescan false
+    positives come back bit-identical, just paying IPC latency."""
+    return _SIDECAR.extract(html, media_map, options, timeout)
 
 
 def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
@@ -350,6 +302,8 @@ def add_partition_column(
     base = partition_ids(doc_ids, num_partitions)
     if "metrics" in batch.column_names:
         sizes = batch.column("metrics").combine_chunks().field("n_bytes").to_pylist()
+        # already-extracted rows carry no raw html to re-scan
+        salted = [False] * len(doc_ids)
     elif "spans" in batch.column_names:
         # null-tolerant like extract_batch: a null span list or null
         # kind/text field routes the doc by size 0, never kills the task.
@@ -386,8 +340,6 @@ def add_partition_column(
         salted = ((bsum[row_off[1:]] - bsum[row_off[:-1]]) > 0).tolist()
     else:
         sizes = [0] * len(doc_ids)
-        salted = [False] * len(doc_ids)
-    if "metrics" in batch.column_names:
         salted = [False] * len(doc_ids)
     pids = [
         num_partitions + (p % giant_partitions)

@@ -141,3 +141,35 @@ class TestEmptyCorpus:
         r = fn(empty_dir)
         n = len(r) if isinstance(r, (pd.DataFrame, pa.Table)) else r.count()
         assert n == 0
+
+class TestLargeStringSynthesis:
+    """The corpus text column is large_string at scale; the vectorized
+    synthesis joins must not assume string (round-4 review: mixed-type
+    binary_join_element_wise raises ArrowNotImplementedError)."""
+
+    def _batches(self):
+        ids = pa.array([0, 1, 2, 5], pa.int64())
+        texts = [None, "", "hello <world>", "x" * 40]
+        small = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+        large = pa.table(
+            {"doc_id": ids, "text": pa.array(texts, pa.large_string())}
+        )
+        return small, large
+
+    def test_wrap_html_type_agnostic(self):
+        from node_html_parser_ray.pipelines.queries import _wrap_html_batch
+
+        small, large = self._batches()
+        a, b = _wrap_html_batch(small), _wrap_html_batch(large)
+        assert a.to_pylist() == b.to_pylist()
+        assert "</div><img src=" in a.column("html")[0].as_py()
+
+    def test_interleaved_type_agnostic(self):
+        from node_html_parser_ray.pipelines.queries import _interleaved_batch
+
+        small, large = self._batches()
+        a, b = _interleaved_batch(small), _interleaved_batch(large)
+        assert a.to_pylist() == b.to_pylist()
+        # doc 5 -> 5 % 3 = 2 media spans between head and tail
+        spans = a.to_pylist()[3]["spans"]
+        assert [s["kind"] for s in spans] == ["html", "image", "video", "html"]

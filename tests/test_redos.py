@@ -39,6 +39,11 @@ class TestPrescan:
             "<p>ok</p><a " + "b" * 40 + "<p>x",    # run ends at '<'
             '<a x="1<2" y',                        # quoted bracket, unterminated
             '<a x="unclosed quote to eof ' + "a" * 10,
+            # round-4 review bypass: short pre-bracket run, bracket-free
+            # FIRST quoted value — only the quote-aware shape-3 branch
+            # catches it (measured ~3x per +2 trailing chars)
+            '<a q="" w="1<2" ' + "e" * 12,
+            '<a q = "" w = "1<2" ' + "e" * 12,     # JS-WS around '='
         ):
             assert is_pathological(s), s
 
@@ -50,6 +55,13 @@ class TestPrescan:
             '<div data-x="a>b">terminated quoted bracket</div>',
             "<script>if (a<b) { run(thing, other); }</script><p>x</p>",
             "<td>1 < 2</td>",
+            # quote re-pairing FP (round-4): a closing quote must not pair
+            # with the next attribute's opening quote and walk out of a
+            # normally terminated tag — shape-3 units are '='-anchored
+            "<span id='s32' ;=\"\" \"=\"\" class='editable'>x</span><div>y</div>",
+            # unterminated quote to EOF after benign attrs is LINEAR in
+            # KMARKUP (chars past '<' inside it are unreachable): not flagged
+            '<a q="" w="1<2' + "e" * 30,
         ):
             assert not is_pathological(s), s
 
