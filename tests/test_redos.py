@@ -118,6 +118,25 @@ class TestBoundedLane:
         inline = extract_batch(batch)
         assert bounded.equals(inline)
 
+    def test_sidecar_respawns_after_timeout(self):
+        # a timeout kills the sidecar; the NEXT flagged doc must get a
+        # fresh one and come back bit-identical (kill-and-respawn path)
+        from node_html_parser_ray.kernel.redos_lane import (
+            RedosSidecar,
+            kernel_extract,
+        )
+
+        sc = RedosSidecar()
+        try:
+            assert sc.extract(ADVERSARIAL, None, None, 0.5) is None
+            assert sc._proc is None  # killed, not lingering
+            html = "<p>hello <b>world</b></p>"
+            assert sc.extract(html, None, None, 30.0) == kernel_extract(
+                html, None, None
+            )
+        finally:
+            sc._close()
+
     def test_partition_router_salts_pathological(self):
         batch = pa.Table.from_pylist(
             [
