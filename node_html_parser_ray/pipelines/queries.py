@@ -671,7 +671,10 @@ def q_top_spenders(sf_dir: str):
 
     def block_topk(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["o_custkey", "n_orders", "sum_raw"])
-        # half-away rounding to match SQL ROUND (pandas .round is half-to-even)
+        # half-away rounding to match SQL ROUND (pandas .round is half-to-even).
+        # floor(x+0.5) is valid here because o_totalprice >= 0 by the TPC-H
+        # data contract (sums of it stay non-negative); unconstrained columns
+        # (events.value) use the sign-aware _round_half_away instead.
         cents = pa.array(
             np.floor(
                 batch.column("sum_raw").to_numpy(zero_copy_only=False) * 100 + 0.5
@@ -728,7 +731,9 @@ def q_pricing_summary(sf_dir: str):
         )
         df = batch.filter(mask).to_pandas()
         # half-away-from-zero rounding (floor(x+0.5) for positives) to match
-        # SQL ROUND; pandas .round() is half-to-even and hash-mismatches
+        # SQL ROUND; pandas .round() is half-to-even and hash-mismatches.
+        # Valid because l_quantity/l_extendedprice >= 0 and 0 <= l_discount
+        # <= 1 by the TPC-H data contract (see _round_half_away otherwise).
         df["qty_milli"] = np.floor(df["l_quantity"] * 1000 + 0.5).astype("int64")
         df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
         df["disc_cents"] = np.floor(
