@@ -1,0 +1,101 @@
+#!/usr/bin/env node
+'use strict';
+/*
+ * Differential-test driver: loads the type-stripped reference module
+ * (produced by scripts/ts_strip.py under /tmp) and answers JSONL requests
+ * on stdin with the reference's outputs, so the pytest side can compare
+ * them against this repo's kernel byte-for-byte.
+ *
+ *   request : {"id", "html", "options", "selectors": [..]}
+ *   response: {"id", "text", "structured", "outer", "structure", "valid",
+ *              "sel": {selector: [outerHTML, ...]}, "rw_outer"}
+ *
+ * decode/encode shims: the reference imports them from the `html-entities`
+ * npm package (absent here, no network).  `decode` below is a direct port
+ * of the HTML5 character-reference algorithm as implemented by CPython's
+ * `html.unescape` (tables generated from `html.entities` at test setup);
+ * `encode` is the package's default "specialChars" mode (the five special
+ * characters).  This makes entity handling common-mode between the two
+ * engines — entity-table parity itself is covered by the ported fixture
+ * suite — while every tokenizer/DOM/selector behavior stays differential.
+ */
+
+const fs = require('fs');
+const readline = require('readline');
+
+const modulePath = process.argv[2];
+const tablesPath = process.argv[3];
+
+const tables = JSON.parse(fs.readFileSync(tablesPath, 'utf8'));
+const html5 = tables.html5;
+const invalidCharrefs = tables.invalid_charrefs; // keys: decimal strings
+const invalidCodepoints = new Set(tables.invalid_codepoints);
+
+const charref = /&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)/g;
+
+function decode(s) {
+  if (typeof s !== 'string' || s.indexOf('&') < 0) return s;
+  return s.replace(charref, (whole, g) => {
+    if (g[0] === '#') {
+      const hex = g[1] === 'x' || g[1] === 'X';
+      const digits = g.replace(/;$/, '').slice(hex ? 2 : 1);
+      const num = parseInt(digits, hex ? 16 : 10);
+      const key = String(num);
+      if (Object.prototype.hasOwnProperty.call(invalidCharrefs, key)) {
+        return invalidCharrefs[key];
+      }
+      if ((num >= 0xd800 && num <= 0xdfff) || num > 0x10ffff) return '�';
+      if (invalidCodepoints.has(num)) return '';
+      return String.fromCodePoint(num);
+    }
+    if (Object.prototype.hasOwnProperty.call(html5, g)) return html5[g];
+    // longest valid prefix (semicolon-less), like html.unescape
+    for (let x = g.length - 1; x >= 2; x--) {
+      const head = g.slice(0, x);
+      if (Object.prototype.hasOwnProperty.call(html5, head)) {
+        return html5[head] + g.slice(x);
+      }
+    }
+    return '&' + g;
+  });
+}
+
+const ENC = { '&': '&amp;', '<': '&lt;', '>': '&gt;', '"': '&quot;', "'": '&apos;' };
+function encode(s) {
+  return String(s).replace(/[&<>"']/g, (c) => ENC[c]);
+}
+
+// the stripped module references decode/encode as free identifiers
+global.decode = decode;
+global.encode = encode;
+
+const ref = require(modulePath);
+
+const rl = readline.createInterface({ input: process.stdin, terminal: false });
+rl.on('line', (line) => {
+  if (!line.trim()) return;
+  const req = JSON.parse(line);
+  let resp;
+  try {
+    const root = ref.parse(req.html, req.options || undefined);
+    const sel = {};
+    for (const s of req.selectors || []) {
+      sel[s] = root.querySelectorAll(s).map((el) => el.toString());
+    }
+    const out = {
+      id: req.id,
+      text: root.text,
+      structured: root.structuredText,
+      outer: root.toString(),
+      structure: root.structure,
+      valid: root.valid,
+      sel,
+    };
+    root.removeWhitespace();
+    out.rw_outer = root.toString();
+    resp = out;
+  } catch (e) {
+    resp = { id: req.id, error: String(e && e.stack ? e.stack : e) };
+  }
+  process.stdout.write(JSON.stringify(resp) + '\n');
+});

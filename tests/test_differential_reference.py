@@ -1,0 +1,260 @@
+"""LIVE differential test: this repo's kernel vs the ACTUAL reference.
+
+The container ships Node 20 but no npm access, so the frozen reference
+source (`/root/reference/src/index.ts`) is type-stripped at test time by
+``scripts/ts_strip.py`` into /tmp (never committed — the repo contains no
+reference-derived code) and driven through ``scripts/ref_driver.js`` over
+a JSONL pipe.  Every document is pushed through BOTH engines and compared
+byte-for-byte on the full extraction surface:
+
+    text, structuredText, toString(), structure, valid,
+    querySelectorAll(sel) -> [outerHTML...], removeWhitespace().toString()
+
+Entity decode/encode are common-mode (the driver ports the HTML5
+character-reference algorithm with tables from ``html.entities``; see
+ref_driver.js) — entity parity itself is pinned by the ported fixture
+suite; everything tokenizer/DOM/selector-related here is fully
+differential.  If node or the reference tree is absent the module skips.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_TS = "/root/reference/src/index.ts"
+NODE = shutil.which("node")
+
+pytestmark = pytest.mark.skipif(
+    NODE is None or not os.path.exists(REF_TS),
+    reason="node or the reference source is not available",
+)
+
+SELECTORS = [
+    "p",
+    "div",
+    "li",
+    "a",
+    "#main",
+    ".c",
+    "div.c",
+    "ul li",
+    "div p b",
+    "[href]",
+    "[id=main]",
+    "[class^=c]",
+    "[class$=x]",
+    "[class*=a]",
+    "[data-k~=v]",
+    "[lang|=en]",
+    "[href!=x]",
+    "p, li",
+]
+
+
+@pytest.fixture(scope="module")
+def ref(tmp_path_factory):
+    """Strip the reference to JS, start the Node driver, yield an ask()."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from ts_strip import exported_names, strip_ts
+
+    with open(REF_TS, encoding="utf-8") as f:
+        src = f.read()
+    js = strip_ts(src)
+    js += "\nmodule.exports = {%s};\n" % ", ".join(exported_names(src))
+
+    d = tmp_path_factory.mktemp("refjs")
+    mod = str(d / "reference_stripped.js")
+    with open(mod, "w", encoding="utf-8") as f:
+        f.write(js)
+    chk = subprocess.run([NODE, "--check", mod], capture_output=True, text=True)
+    assert chk.returncode == 0, f"type-strip produced invalid JS:\n{chk.stderr}"
+
+    import html as html_mod
+    import html.entities as ent
+
+    tables = str(d / "entities.json")
+    with open(tables, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "html5": ent.html5,
+                "invalid_charrefs": {
+                    str(k): v for k, v in html_mod._invalid_charrefs.items()
+                },
+                "invalid_codepoints": sorted(html_mod._invalid_codepoints),
+            },
+            f,
+        )
+
+    proc = subprocess.Popen(
+        [NODE, os.path.join(REPO, "scripts", "ref_driver.js"), mod, tables],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+        bufsize=1,
+    )
+    counter = iter(range(1, 10**9))
+
+    def ask(html: str, options=None, selectors=()):
+        rid = next(counter)
+        req = {
+            "id": rid,
+            "html": html,
+            "options": options,
+            "selectors": list(selectors),
+        }
+        proc.stdin.write(json.dumps(req) + "\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["id"] == rid
+        assert "error" not in resp, resp.get("error")
+        return resp
+
+    yield ask
+    proc.kill()
+    proc.wait()
+
+
+def _ours(html: str, options=None, selectors=()):
+    from node_html_parser_ray.kernel.parser import parse
+
+    root = parse(html, options)
+    sel = {
+        s: [el.to_string() for el in root.query_selector_all(s)]
+        for s in selectors
+    }
+    out = {
+        "text": root.text,
+        "structured": root.structured_text,
+        "outer": root.to_string(),
+        "structure": root.structure,
+        "valid": root.valid,
+        "sel": sel,
+    }
+    root.remove_whitespace()
+    out["rw_outer"] = root.to_string()
+    return out
+
+
+def _compare(ask, html: str, options=None, selectors=(), label=""):
+    theirs = ask(html, options, selectors)
+    mine = _ours(html, options, selectors)
+    for key in ("valid", "text", "structured", "outer", "structure", "sel", "rw_outer"):
+        assert mine[key] == theirs[key], (
+            f"{label or html[:80]!r}: {key} diverges\n"
+            f"  ours:   {mine[key]!r}\n  theirs: {theirs[key]!r}"
+        )
+
+
+class TestFixtureParity:
+    @pytest.mark.parametrize(
+        "path",
+        sorted(glob.glob("/root/reference/test/html/*")),
+        ids=os.path.basename,
+    )
+    def test_reference_fixture(self, ref, path):
+        with open(path, encoding="utf-8") as f:
+            html = f.read()
+        _compare(ref, html, selectors=SELECTORS, label=path)
+
+    def test_fixtures_with_comments_kept(self, ref):
+        for path in sorted(glob.glob("/root/reference/test/html/*"))[:2]:
+            with open(path, encoding="utf-8") as f:
+                html = f.read()
+            _compare(ref, html, options={"comment": True}, label=f"{path}+comment")
+
+
+def _random_html(rng: random.Random, n_tokens: int) -> str:
+    tags = ["div", "p", "span", "b", "ul", "li", "table", "tr", "td", "a",
+            "img", "br", "h1", "script", "style", "pre", "DIV", "P"]
+    words = ["hello", "a&amp;b", "x &lt; y", "&copy;", "&#65;", "&#x41;",
+             "&notit;", "&unknown;", "tail  spaces ", "\n\t", "1<2", "€ü",
+             ""]
+    attrs = ['', ' class="c"', ' id="main"', " href='/x'", ' data-k=v',
+             ' class="ca cx"', ' lang=en-US', ' checked', ' src="/i.png"',
+             " style='a:b'", ' class=', ' =weird', ' a="un']
+    out = []
+    depth = 0
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            t = rng.choice(tags)
+            out.append(f"<{t}{rng.choice(attrs)}{rng.choice(['', ' /', ''])}>")
+            depth += 1
+        elif r < 0.55 and depth:
+            out.append(f"</{rng.choice(tags)}>")
+            depth -= 1
+        elif r < 0.62:
+            out.append(f"<!--{rng.choice(words)}-->")
+        elif r < 0.66:
+            out.append(rng.choice(["<!doctype html>", "<!-- unterminated",
+                                   "</>", "< notatag", "<>"]))
+        else:
+            out.append(rng.choice(words))
+    return "".join(out)
+
+
+class TestFuzzParity:
+    def test_seeded_tag_soup(self, ref):
+        rng = random.Random(20260817)
+        for i in range(300):
+            html = _random_html(rng, rng.randint(1, 60))
+            _compare(ref, html, selectors=SELECTORS[:8], label=f"fuzz[{i}]")
+
+    def test_seeded_tag_soup_with_options(self, ref):
+        rng = random.Random(42)
+        option_sets = [
+            {"comment": True},
+            {"lowerCaseTagName": True},
+            {"script": True, "style": True},
+            {"pre": True, "comment": True, "lowerCaseTagName": True},
+        ]
+        for i in range(120):
+            html = _random_html(rng, rng.randint(1, 40))
+            opts = option_sets[i % len(option_sets)]
+            _compare(ref, html, options=opts, label=f"fuzz-opt[{i}]{opts}")
+
+
+class TestTargetedParity:
+    CASES = [
+        "<ul><li>1<li>2<li>3</ul>",                       # implicit close
+        "<table><tr><td>a<td>b<tr><td>c</table>",          # table repair
+        "<p>a<p>b<h1>c</h1>",                              # p/h closures
+        "<script>if (a<b) { x('</div>'); }</script>done",  # raw text
+        "<style>p > a { color: red }</style>",
+        "<pre>  keep   spaces  </pre>",
+        "<textarea><p>not parsed</p></textarea>",
+        "<div><h3>pair</h3><h3>error</div>",               # fixup paths
+        "<div><h3>single</div>",
+        "<img src=x><br><hr />",                           # void tags
+        "<a href='mixed\"quotes'>x</a>",
+        "<div a=1 b = '2' c=\"3\" d>attrs</div>",
+        "<DIV CLASS=UP>case</DIV>",
+        "text only, no tags at all",
+        "&copy; 2024 &unknown; &#169; &#xA9; &notit;",
+        "<div>&#0;&#13;&#x80;&#x110000;</div>",           # invalid charrefs
+        "<p>unclosed",
+        "</div>stray close",
+        "<div><!-- c --><span>s</span></div>",
+        "",
+        " \t\n ",
+    ]
+
+    @pytest.mark.parametrize("html", CASES, ids=range(len(CASES)))
+    def test_case(self, ref, html):
+        _compare(ref, html, selectors=SELECTORS, label=html)
+
+    def test_lowercase_option_preserves_render_set(self, ref):
+        _compare(
+            ref,
+            "<DIV><SPAN id=A>x</SPAN></DIV>",
+            options={"lowerCaseTagName": True},
+            selectors=["div", "span", "#A"],
+        )
