@@ -82,6 +82,24 @@ rl.on('line', (line) => {
     for (const s of req.selectors || []) {
       sel[s] = root.querySelectorAll(s).map((el) => el.toString());
     }
+    // DFS dump of every element's attribute state (raw + decoded maps)
+    const attrs = [];
+    (function dfs(node) {
+      if (node.nodeType === 1) {
+        const dec = {};
+        const raw = node.rawAttributes;
+        const decoded = node.attributes;
+        for (const k of Object.keys(decoded)) dec[k] = decoded[k];
+        attrs.push({
+          tag: node.tagName,
+          id: node.id,
+          classes: [...node.classNames],
+          raw: { ...raw },  // copy: the getters memoize, and the mutation
+          dec,              // step below would otherwise alias into this dump
+        });
+        node.childNodes.forEach(dfs);
+      }
+    })(root);
     const out = {
       id: req.id,
       text: root.text,
@@ -89,8 +107,23 @@ rl.on('line', (line) => {
       outer: root.toString(),
       structure: root.structure,
       valid: root.valid,
+      attrs,
       sel,
     };
+    // mutation round-trip: exercise setAttribute's encode path and the
+    // rawAttrs re-serialization on the first element with any attribute
+    const target = root.querySelectorAll('*').find(
+      (el) => Object.keys(el.rawAttributes).length > 0
+    );
+    if (target) {
+      target.setAttribute('data-new', 'a<b&"c\'');
+      target.removeAttribute('class');
+      out.mut_outer = root.toString();
+      out.mut_get = target.getAttribute('data-new');
+    } else {
+      out.mut_outer = null;
+      out.mut_get = null;
+    }
     root.removeWhitespace();
     out.rw_outer = root.toString();
     resp = out;

@@ -123,6 +123,7 @@ def ref(tmp_path_factory):
 
 
 def _ours(html: str, options=None, selectors=()):
+    from node_html_parser_ray.kernel.dom import HTMLElement
     from node_html_parser_ray.kernel.parser import parse
 
     root = parse(html, options)
@@ -130,23 +131,59 @@ def _ours(html: str, options=None, selectors=()):
         s: [el.to_string() for el in root.query_selector_all(s)]
         for s in selectors
     }
+
+    attrs = []
+
+    def dfs(node):
+        if isinstance(node, HTMLElement):
+            attrs.append(
+                {
+                    "tag": node.tag_name,
+                    "id": node.id,
+                    "classes": list(node.class_names),
+                    "raw": dict(node.raw_attributes),
+                    "dec": dict(node.attributes),
+                }
+            )
+            for c in node.child_nodes:
+                dfs(c)
+
+    dfs(root)
     out = {
         "text": root.text,
         "structured": root.structured_text,
         "outer": root.to_string(),
         "structure": root.structure,
         "valid": root.valid,
+        "attrs": attrs,
         "sel": sel,
     }
+    target = next(
+        (el for el in root.query_selector_all("*") if el.raw_attributes), None
+    )
+    if target is not None:
+        target.set_attribute("data-new", "a<b&\"c'")
+        target.remove_attribute("class")
+        out["mut_outer"] = root.to_string()
+        out["mut_get"] = target.get_attribute("data-new")
+    else:
+        out["mut_outer"] = None
+        out["mut_get"] = None
     root.remove_whitespace()
     out["rw_outer"] = root.to_string()
     return out
 
 
+_KEYS = (
+    "valid", "text", "structured", "outer", "structure", "attrs", "sel",
+    "mut_outer", "mut_get", "rw_outer",
+)
+
+
 def _compare(ask, html: str, options=None, selectors=(), label=""):
     theirs = ask(html, options, selectors)
     mine = _ours(html, options, selectors)
-    for key in ("valid", "text", "structured", "outer", "structure", "sel", "rw_outer"):
+    for key in _KEYS:
         assert mine[key] == theirs[key], (
             f"{label or html[:80]!r}: {key} diverges\n"
             f"  ours:   {mine[key]!r}\n  theirs: {theirs[key]!r}"
