@@ -259,6 +259,52 @@ class TestFuzzParity:
             _compare(ref, html, options=opts, label=f"fuzz-opt[{i}]{opts}")
 
 
+def _random_selector(rng: random.Random) -> str:
+    """One random (possibly nonsensical) selector over the fuzz vocabulary."""
+    tags = ["div", "p", "span", "li", "a", "*", ""]
+    ops = ["=", "!=", "^=", "$=", "*=", "~=", "|="]
+    vals = ["c", "ca", "cx", "main", "en-US", "v", "/x", "un", ""]
+
+    def part() -> str:
+        s = rng.choice(tags)
+        if rng.random() < 0.4:
+            s += "#" + rng.choice(["main", "x", "a1"])
+        if rng.random() < 0.5:
+            s += "." + ".".join(
+                rng.sample(["c", "ca", "cx", "z"], rng.randint(1, 2))
+            )
+        while rng.random() < 0.35:
+            key = rng.choice(["class", "id", "href", "data-k", "lang", "checked"])
+            if rng.random() < 0.3:
+                s += f"[{key}]"
+            else:
+                q = rng.choice(['"', "'", ""])
+                s += f"[{key}{rng.choice(ops)}{q}{rng.choice(vals)}{q}]"
+        return s or "div"
+
+    sel = " ".join(part() for _ in range(rng.randint(1, 3)))
+    if rng.random() < 0.25:
+        sel += ", " + part()
+    return sel
+
+
+class TestSelectorFuzzParity:
+    def test_random_selectors_over_random_docs(self, ref):
+        """querySelectorAll parity under RANDOM selectors (the fixed-list
+        fuzz above exercises random documents; this axis randomizes the
+        selector grammar itself — attribute operators, quoting, compound
+        and comma forms)."""
+        rng = random.Random(190817)
+        for i in range(150):
+            html = _random_html(rng, rng.randint(5, 50))
+            sels = []
+            while len(sels) < 6:
+                s = _random_selector(rng)
+                if s not in sels:
+                    sels.append(s)
+            _compare(ref, html, selectors=sels, label=f"selfuzz[{i}]")
+
+
 class TestTargetedParity:
     CASES = [
         "<ul><li>1<li>2<li>3</ul>",                       # implicit close
