@@ -124,6 +124,32 @@ rl.on('line', (line) => {
       out.mut_outer = null;
       out.mut_get = null;
     }
+    // scripted tree-mutation sequence (differential for the §2.2 operators)
+    const snaps = [];
+    const snap = () => snaps.push(root.toString());
+    const first = (s) => root.querySelectorAll(s)[0];
+    const d = first('div');
+    if (d) { d.set_content('<em>new</em> content &amp; more'); snap(); }
+    const p = first('p');
+    if (p) {
+      p.appendChild(new ref.TextNode(' appended'));
+      p.appendChild(ref.parse('<i>frag</i>').firstChild);
+      snap();
+    }
+    const sp = first('span');
+    if (sp) { sp.remove(); snap(); }
+    const li = first('li');
+    if (li) { li.innerHTML = '<b>x</b>y'; snap(); }
+    const ul = first('ul');
+    if (ul) { ul.prependChild(new ref.TextNode('pre ')); snap(); }
+    if (root.childNodes.length) {
+      root.exchangeChild(root.childNodes[0], new ref.TextNode('X'));
+      snap();
+    }
+    out.mut_script = snaps;
+    out.fc = root.firstChild ? root.firstChild.toString() : null;
+    out.lc = root.lastChild ? root.lastChild.toString() : null;
+    out.n_children = root.children.length;
     root.removeWhitespace();
     out.rw_outer = root.toString();
     resp = out;

@@ -169,6 +169,43 @@ def _ours(html: str, options=None, selectors=()):
     else:
         out["mut_outer"] = None
         out["mut_get"] = None
+    # scripted tree-mutation sequence, mirroring ref_driver.js exactly
+    from node_html_parser_ray.kernel.dom import TextNode
+
+    snaps = []
+
+    def first(s):
+        hits = root.query_selector_all(s)
+        return hits[0] if hits else None
+
+    d = first("div")
+    if d is not None:
+        d.set_content("<em>new</em> content &amp; more")
+        snaps.append(root.to_string())
+    p = first("p")
+    if p is not None:
+        p.append_child(TextNode(" appended"))
+        p.append_child(parse("<i>frag</i>").first_child)
+        snaps.append(root.to_string())
+    sp = first("span")
+    if sp is not None:
+        sp.remove()
+        snaps.append(root.to_string())
+    li = first("li")
+    if li is not None:
+        li.inner_html = "<b>x</b>y"
+        snaps.append(root.to_string())
+    ul = first("ul")
+    if ul is not None:
+        ul.prepend_child(TextNode("pre "))
+        snaps.append(root.to_string())
+    if root.child_nodes:
+        root.exchange_child(root.child_nodes[0], TextNode("X"))
+        snaps.append(root.to_string())
+    out["mut_script"] = snaps
+    out["fc"] = root.first_child.to_string() if root.first_child else None
+    out["lc"] = root.last_child.to_string() if root.last_child else None
+    out["n_children"] = len(root.children)
     root.remove_whitespace()
     out["rw_outer"] = root.to_string()
     return out
@@ -176,7 +213,8 @@ def _ours(html: str, options=None, selectors=()):
 
 _KEYS = (
     "valid", "text", "structured", "outer", "structure", "attrs", "sel",
-    "mut_outer", "mut_get", "rw_outer",
+    "mut_outer", "mut_get", "mut_script", "fc", "lc", "n_children",
+    "rw_outer",
 )
 
 
