@@ -109,6 +109,9 @@ rl.on('line', (line) => {
       valid: root.valid,
       attrs,
       sel,
+      // JSON round-trip NOW: toJSON embeds the live memoized attribute
+      // maps, which the mutation steps below would otherwise alias into
+      tojson: JSON.parse(JSON.stringify(root.toJSON())),
     };
     // mutation round-trip: exercise setAttribute's encode path and the
     // rawAttrs re-serialization on the first element with any attribute

@@ -157,6 +157,7 @@ def _ours(html: str, options=None, selectors=()):
         "valid": root.valid,
         "attrs": attrs,
         "sel": sel,
+        "tojson": root.to_json(),
     }
     target = next(
         (el for el in root.query_selector_all("*") if el.raw_attributes), None
@@ -213,6 +214,7 @@ def _ours(html: str, options=None, selectors=()):
 
 _KEYS = (
     "valid", "text", "structured", "outer", "structure", "attrs", "sel",
+    "tojson",
     "mut_outer", "mut_get", "mut_script", "fc", "lc", "n_children",
     "rw_outer",
 )
