@@ -5,9 +5,13 @@ source (`/root/reference/src/index.ts`) is type-stripped at test time by
 ``scripts/ts_strip.py`` into /tmp (never committed — the repo contains no
 reference-derived code) and driven through ``scripts/ref_driver.js`` over
 a JSONL pipe.  Every document is pushed through BOTH engines and compared
-byte-for-byte on the full extraction surface:
+byte-for-byte on the full extraction + mutation surface:
 
-    text, structuredText, toString(), structure, valid,
+    text, structuredText, toString(), structure, toJSON(), valid,
+    per-element attribute maps (raw + decoded + id/classNames),
+    setAttribute/removeAttribute/getAttribute round-trip,
+    a scripted tree-mutation sequence (set_content, appendChild, remove,
+    innerHTML=, prependChild, exchangeChild, firstChild/lastChild/children),
     querySelectorAll(sel) -> [outerHTML...], removeWhitespace().toString()
 
 Entity decode/encode are common-mode (the driver ports the HTML5
