@@ -110,8 +110,29 @@ PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe
 # comment alternation consumes them atomically), so '<' runs there are
 # harmless.  Real pages are full of 'if (a<b)' script bodies, so only
 # stage-1-flagged docs pay this linear strip + re-test.
+#
+# Round-4 review fixes (both were FALSE NEGATIVES — a masked pathological
+# doc parses unbounded in-process and hangs the worker, exactly what the
+# lane exists to prevent):
+#   * CASE-SENSITIVE, exact close tag: parse() treats a tag as raw-text
+#     only via the case-sensitive lookup `t in K_BLOCK_TEXT_ELEMENTS` and
+#     terminates it only at the exact lowercase `</script>` (data.find of
+#     close_markup, parser loop below).  The old `(?is)`/`</\1[^>]*>` strip
+#     removed `<SCRIPT>` bodies the tokenizer actually scans (measured
+#     blowup: '<SCRIPT><a ' + 'a'*16 + '</SCRIPT>' ~8.5 s).  Under the
+#     lowerCaseTagName option an uppercase body IS skipped, so the
+#     case-sensitive strip can only over-flag there (benign: sidecar FP).
+#   * '<>' SENTINEL replacement, not '': removing a region outright merges
+#     its neighbours, so '<a ' + run + '<!--c-->>' collapsed to a
+#     terminated-looking '<a run>' and went unflagged — but the real
+#     tokenizer's attempt at '<a' still dies on the comment's own '<' and
+#     backtracks across the run (measured ~9.9 s at run 16).  The sentinel
+#     keeps that terminator: '<' reproduces the boundary the failing match
+#     actually sees, and the trailing '>' cannot start a new tag-open, so
+#     the text AFTER a benign stripped region never fuses into a phantom
+#     '<letter' run (which a bare '<' sentinel would create).
 _RAW_TEXT_STRIP = re.compile(
-    r"(?is)<(script|style|pre|noscript)\b[^>]*>[\s\S]*?</\1[^>]*>|<!--[\s\S]*?-->"
+    r"(?s)<(script|style|pre|noscript)\b[^>]*>[\s\S]*?</\1>|<!--[\s\S]*?-->"
 )
 
 
@@ -120,11 +141,13 @@ def is_pathological(html: str) -> bool:
 
     Two linear-time stages: the cheap pattern over the raw string (almost
     every doc exits here), then — only for stage-1 hits — the same pattern
-    over a copy with raw-text bodies and comments stripped, since the
-    tokenizer never backtracks inside those regions."""
+    over a copy with raw-text bodies and comments replaced by a '<>'
+    sentinel (the tokenizer never backtracks inside those regions, but
+    their leading '<' still terminates a failing run that started before
+    them — see _RAW_TEXT_STRIP's comment)."""
     if PATHOLOGICAL.search(html) is None:
         return False
-    return PATHOLOGICAL.search(_RAW_TEXT_STRIP.sub("", html)) is not None
+    return PATHOLOGICAL.search(_RAW_TEXT_STRIP.sub("<>", html)) is not None
 
 
 # reference src/index.ts:836-847 — kSelfClosingElements (void tags).

@@ -74,6 +74,10 @@ class RedosSidecar:
         self._proc = None
         self._conn = None
         self._lock = threading.Lock()
+        # becomes True the first time a spawn succeeds: after that, a
+        # setup/send failure is transient (fd/memory pressure) and must NOT
+        # fall back to an unbounded in-process parse of a flagged doc
+        self._spawn_ok = False
 
     def _ensure(self) -> None:
         if self._proc is not None and self._proc.is_alive():
@@ -85,6 +89,7 @@ class RedosSidecar:
         proc.start()
         child.close()
         self._proc, self._conn = proc, parent
+        self._spawn_ok = True
 
     def _close(self) -> None:
         if self._conn is not None:
@@ -103,14 +108,26 @@ class RedosSidecar:
 
     def extract(self, html, media_map, options, timeout):
         """Bounded parse; ``None`` on timeout/crash (caller records the doc
-        as dropped-invalid).  Spawn failure (exotic platform) falls back to
-        the unbounded in-process kernel — reference behavior."""
+        as dropped-invalid).
+
+        Setup/send failure (round-4 review fix): if a spawn has EVER
+        succeeded in this process, a later failure is transient resource
+        pressure (EAGAIN/EMFILE on process or pipe creation) — return
+        ``None`` like a timeout, because an unbounded in-process parse of a
+        document the prescan just flagged is the exact hang this lane
+        exists to prevent, and a degraded node is when it is most likely to
+        fire.  Only when spawn has NEVER worked (platform without spawn
+        support) fall back to the unbounded in-process kernel — reference
+        behavior, and benign prescan FPs must not become dropped docs
+        there."""
         with self._lock:
             try:
                 self._ensure()
                 self._conn.send((html, media_map, options))
             except Exception:
                 self._close()
+                if self._spawn_ok:
+                    return None
                 return kernel_extract(html, media_map, options)
             if self._conn.poll(timeout):
                 try:

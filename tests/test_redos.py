@@ -3,7 +3,7 @@
 The tokenizer inherits the reference's backtracking blowup on truncated
 ambiguous tags (kernel/parser.py comment; src/index.ts:833 explodes
 identically in V8).  The mitigation keeps tokenizer semantics untouched:
-a linear-time prescan routes suspicious docs to a forked subprocess with a
+a linear-time prescan routes suspicious docs to a persistent spawn sidecar with a
 hard wall bound; timeouts yield zero spans + valid=False.
 """
 from __future__ import annotations
@@ -44,6 +44,21 @@ class TestPrescan:
             # catches it (measured ~3x per +2 trailing chars)
             '<a q="" w="1<2" ' + "e" * 12,
             '<a q = "" w = "1<2" ' + "e" * 12,     # JS-WS around '='
+            # round-4 review fix: a stripped comment/raw-text region must
+            # not MERGE its neighbours — the '<' that terminates the
+            # failing run is the region's own first char, and the real
+            # tokenizer still backtracks across the run (measured ~9.9 s
+            # at run 16).  With the old ''-substitution these looked like
+            # terminated '<a run>' tags and went unflagged.
+            "<a " + "a" * 16 + "<!--c-->>",
+            "<a " + "a" * 16 + "<script>x</script>>",
+            # round-4 review fix: raw-text is CASE-SENSITIVE in parse()
+            # (t in K_BLOCK_TEXT_ELEMENTS, close via exact '</script>'
+            # find), so an uppercase body IS scanned by the tokenizer
+            # (measured ~8.5 s at run 16) and must stay visible to the
+            # prescan.
+            "<SCRIPT><a " + "a" * 16 + "</SCRIPT>",
+            "<PRE>a<b " + "q" * 20 + "</PRE>",
         ):
             assert is_pathological(s), s
 
@@ -62,6 +77,13 @@ class TestPrescan:
             # unterminated quote to EOF after benign attrs is LINEAR in
             # KMARKUP (chars past '<' inside it are unreachable): not flagged
             '<a q="" w="1<2' + "e" * 30,
+            # round-4 review fix: the '<>' sentinel replacing a stripped
+            # region must not fuse with FOLLOWING text into a phantom
+            # '<letter' run (a bare '<' sentinel would flag this)
+            "<script>if(a<b){" + "x" * 40 + "}</script>" + "plaintext" * 10,
+            # true lowercase raw-text body stays skipped
+            "<script><a " + "a" * 30 + "</script>ok",
+            "<pre>a<b " + "q" * 30 + "</pre>",
         ):
             assert not is_pathological(s), s
 
@@ -151,6 +173,92 @@ class TestBoundedLane:
         }
         assert pids["good-1"] < 64
         assert pids["bad-1"] >= 64  # salted giant/pathological lane
+
+    def test_partition_router_scans_joined_doc_not_spans(self):
+        """Round-4 review fix: the router prescan runs over each doc's
+        JOINED span text, matching extract_batch's own lane decision —
+        a trigger split across two html spans is salted, and a benign
+        script-heavy span is not (the per-span scan got both wrong)."""
+        half = len(ADVERSARIAL) // 2
+        batch = pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": "split-1",
+                    "spans": [
+                        {"kind": "html", "text": ADVERSARIAL[:half],
+                         "media_ref": "", "offset": 0},
+                        {"kind": "html", "text": ADVERSARIAL[half:],
+                         "media_ref": "", "offset": 1},
+                    ],
+                },
+                # per-span stage 1 would flag this (script body '<' run);
+                # the doc-level scan applies the raw-text refinement
+                _spans_row(
+                    "scripty-1",
+                    "<script>if (a<b) { " + "x" * 40 + " }</script><p>ok</p>",
+                ),
+                # truncated tag terminated by a media placeholder's '<'
+                {
+                    "doc_id": "media-cut-1",
+                    "spans": [
+                        {"kind": "html", "text": "<a " + "a" * 30,
+                         "media_ref": "", "offset": 0},
+                        {"kind": "image", "text": "cap",
+                         "media_ref": "m://x/0", "offset": 1},
+                    ],
+                },
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        out = add_partition_column(batch, num_partitions=64)
+        pids = {r["doc_id"]: r["partition_id"] for r in out.to_pylist()}
+        assert pids["split-1"] >= 64
+        assert pids["scripty-1"] < 64
+        assert pids["media-cut-1"] >= 64
+
+    def test_sidecar_transient_failure_returns_none(self, monkeypatch):
+        """Round-4 review fix: once a spawn has succeeded, a later
+        setup/send failure is transient resource pressure — the flagged doc
+        must be dropped (None), never parsed unbounded in-process."""
+        from node_html_parser_ray.kernel.redos_lane import (
+            RedosSidecar,
+            kernel_extract,
+        )
+
+        sc = RedosSidecar()
+        try:
+            html = "<p>hello</p>"
+            assert sc.extract(html, None, None, 30.0) == kernel_extract(
+                html, None, None
+            )
+            assert sc._spawn_ok
+            monkeypatch.setattr(
+                sc, "_ensure",
+                lambda: (_ for _ in ()).throw(OSError("EAGAIN")),
+            )
+            assert sc.extract(ADVERSARIAL, None, None, 1.0) is None
+        finally:
+            sc._close()
+
+    def test_sidecar_never_spawned_falls_back_in_process(self, monkeypatch):
+        """Platform-without-spawn fallback: if no spawn EVER succeeded,
+        benign prescan FPs must still parse (in-process, unbounded —
+        reference behavior) rather than become dropped docs."""
+        from node_html_parser_ray.kernel.redos_lane import (
+            RedosSidecar,
+            kernel_extract,
+        )
+
+        sc = RedosSidecar()
+        monkeypatch.setattr(
+            sc, "_ensure",
+            lambda: (_ for _ in ()).throw(OSError("no spawn support")),
+        )
+        html = "<p>benign false positive</p>"
+        assert sc.extract(html, None, None, 1.0) == kernel_extract(
+            html, None, None
+        )
+        assert not sc._spawn_ok
 
 
 class TestBoundedEndToEnd:
