@@ -14,11 +14,15 @@ inherited locks), the startup cost (~0.1 s; this module's transitive
 imports are pure stdlib) is amortized across every flagged document the
 worker ever sees, and a timeout kills + respawns the sidecar.
 
-The sidecar runs the SAME kernel (`fast_extract.extract_spans_into`), so
+The protocol is generic — a request is ``(module, func, args)`` resolved by
+import in the child — so every stage that parses whole documents
+(extraction, selector, boilerplate classifier) shares ONE sidecar and one
+degraded-mode policy.  The sidecar runs the SAME kernels the stages run, so
 prescan false positives come back bit-identical (tests/test_redos.py).
 """
 from __future__ import annotations
 
+import importlib
 import multiprocessing as mp
 import threading
 from typing import Optional
@@ -48,8 +52,25 @@ def kernel_extract(html: str, media_map: Optional[dict], options: Optional[dict]
     )
 
 
+def _resolve(module: str, func: str):
+    return getattr(importlib.import_module(module), func)
+
+
 def _sidecar_loop(conn) -> None:
-    """Child body: pure compute over a pipe, one request -> one reply."""
+    """Child body: pure compute over a pipe, one request -> one reply.
+
+    The leading ``("ready", None)`` handshake lets the parent distinguish
+    "child started" from "child died during spawn preparation" (e.g. a
+    parent whose ``__main__`` is not an importable file — interactive
+    stdin — where CPython's spawn re-import dies before this loop runs):
+    startup death must surface as a spawn FAILURE (-> the never-spawned
+    in-process fallback, preserving prescan-FP parity), never masquerade
+    as a per-document timeout (-> silent doc drop).
+
+    A function exception travels back as an ``("err", repr)`` envelope and
+    is re-raised in the parent — the same observable behavior the caller
+    would get running the function in-process (parity for prescan FPs)."""
+    conn.send(("ready", None))
     while True:
         try:
             msg = conn.recv()
@@ -58,17 +79,24 @@ def _sidecar_loop(conn) -> None:
         if msg is None:
             conn.close()
             return
-        html, media_map, options = msg
-        conn.send(kernel_extract(html, media_map, options))
+        module, func, args = msg
+        try:
+            conn.send(("ok", _resolve(module, func)(*args)))
+        except Exception as ex:  # noqa: BLE001 — envelope, re-raised in parent
+            conn.send(("err", repr(ex)))
+
+
+_EXTRACT_MOD = "node_html_parser_ray.kernel.redos_lane"
 
 
 class RedosSidecar:
-    """Lazily-started persistent subprocess running the parse kernel.
+    """Lazily-started persistent subprocess running stage kernels.
 
-    ``extract(...)`` returns the kernel result tuple, or ``None`` when the
-    wall bound expires (the sidecar is then killed and will respawn on the
-    next call).  Thread-safe; one instance is held per worker process
-    (module global in ``stages.extract_stage``)."""
+    ``call(module, func, args, timeout)`` returns the function result, or
+    ``None`` when the wall bound expires (the sidecar is then killed and
+    will respawn on the next call); a function exception re-raises in the
+    caller.  Thread-safe; one instance is held per worker process (module
+    global in ``stages.extract_stage``)."""
 
     def __init__(self) -> None:
         self._proc = None
@@ -88,6 +116,26 @@ class RedosSidecar:
         proc = ctx.Process(target=_sidecar_loop, args=(child,), daemon=True)
         proc.start()
         child.close()
+        # readiness handshake: a child that died during spawn preparation
+        # raises here (EOFError/timeout) so the caller sees a SPAWN failure
+        # (never-spawned -> in-process fallback), not a fake doc timeout.
+        # Startup cost is thereby also excluded from the first document's
+        # wall budget.
+        try:
+            if not parent.poll(30.0):
+                raise RuntimeError("sidecar did not become ready")
+            status, _ = parent.recv()
+            if status != "ready":
+                raise RuntimeError(f"unexpected sidecar handshake: {status}")
+        except Exception:
+            parent.close()
+            if proc.is_alive():
+                proc.terminate()
+                proc.join(1.0)
+                if proc.is_alive():
+                    proc.kill()
+            proc.join()
+            raise
         self._proc, self._conn = proc, parent
         self._spawn_ok = True
 
@@ -106,9 +154,9 @@ class RedosSidecar:
             self._proc.join()
         self._proc = self._conn = None
 
-    def extract(self, html, media_map, options, timeout):
-        """Bounded parse; ``None`` on timeout/crash (caller records the doc
-        as dropped-invalid).
+    def call(self, module: str, func: str, args: tuple, timeout: float):
+        """Bounded run of ``module.func(*args)``; ``None`` on timeout/crash
+        (caller records the doc as dropped/bounded-out).
 
         Setup/send failure (round-4 review fix): if a spawn has EVER
         succeeded in this process, a later failure is transient resource
@@ -117,23 +165,33 @@ class RedosSidecar:
         document the prescan just flagged is the exact hang this lane
         exists to prevent, and a degraded node is when it is most likely to
         fire.  Only when spawn has NEVER worked (platform without spawn
-        support) fall back to the unbounded in-process kernel — reference
+        support) fall back to the unbounded in-process function — reference
         behavior, and benign prescan FPs must not become dropped docs
         there."""
         with self._lock:
             try:
                 self._ensure()
-                self._conn.send((html, media_map, options))
+                self._conn.send((module, func, args))
             except Exception:
                 self._close()
                 if self._spawn_ok:
                     return None
-                return kernel_extract(html, media_map, options)
+                return _resolve(module, func)(*args)
             if self._conn.poll(timeout):
                 try:
-                    return self._conn.recv()
+                    status, payload = self._conn.recv()
                 except (EOFError, OSError):  # child crashed mid-reply
                     self._close()
                     return None
-            self._close()  # timeout: kill; next call respawns
-            return None
+            else:
+                self._close()  # timeout: kill; next call respawns
+                return None
+        if status == "err":
+            raise RuntimeError(f"sidecar function raised: {payload}")
+        return payload
+
+    def extract(self, html, media_map, options, timeout):
+        """Bounded parse via the shared protocol; see :meth:`call`."""
+        return self.call(
+            _EXTRACT_MOD, "kernel_extract", (html, media_map, options), timeout
+        )

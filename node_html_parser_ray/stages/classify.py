@@ -18,9 +18,9 @@ import pyarrow as pa
 
 from ..kernel.dom import ELEMENT_NODE, HTMLElement, is_block
 from ..kernel.parser import parse
-from .extract_stage import htmls_from_batch
+from .extract_stage import _SIDECAR, _parse_timeout, htmls_from_batch, prescan_flags
 
-__all__ = ["BoilerplateClassifier", "CLASSIFY_OUTPUT_SCHEMA"]
+__all__ = ["BoilerplateClassifier", "CLASSIFY_OUTPUT_SCHEMA", "classify_document"]
 
 CLASSIFY_OUTPUT_SCHEMA = pa.schema(
     [
@@ -58,6 +58,68 @@ def _block_features(el: HTMLElement) -> tuple[int, int, int]:
     return text_len, link_len, n_elements
 
 
+def _classify_tree(
+    root: HTMLElement, min_text_len: int, max_link_density: float
+) -> tuple[str, int, int]:
+    """Decision regions are LEAF blocks (block elements with no direct
+    block-element child); wrappers descend, classifications stop descent.
+
+    Rules, in order per element:
+
+    1. structural containers (html/body/head) descend, never scored —
+       otherwise a wrapped page is one whole-document "content" region
+       and boilerplate stripping is a no-op;
+    2. boilerplate-tagged blocks (nav/header/footer/aside/form) count
+       boilerplate and are NOT descended — content-dense text inside a
+       footer must not leak into main_text;
+    3. blocks with a direct block child are wrappers: descend unscored
+       (their leaf blocks are the decisions);
+    4. leaf blocks score by text length / link density and stop.
+
+    Scored subtrees are disjoint, so feature extraction touches every
+    node at most once — the walk is linear in document size (the
+    previous top-down re-walk was O(depth x subtree) on nested divs).
+    """
+    content_parts: list[str] = []
+    n_content = 0
+    n_boiler = 0
+    stack = [c for c in reversed(root.child_nodes) if c.node_type == ELEMENT_NODE]
+    while stack:
+        el = stack.pop()
+        tag = el.tag_name.lower()
+        if is_block(el) and tag not in _STRUCTURAL_TAGS:
+            if tag in _BOILERPLATE_TAGS:
+                n_boiler += 1
+                continue
+            has_block_child = any(
+                c.node_type == ELEMENT_NODE and is_block(c)
+                for c in el.child_nodes
+            )
+            if not has_block_child:
+                text_len, link_len, _ = _block_features(el)
+                link_density = (link_len / text_len) if text_len else 1.0
+                if (text_len >= min_text_len
+                        and link_density <= max_link_density):
+                    st = el.structured_text
+                    if st:
+                        content_parts.append(st)
+                    n_content += 1
+                else:
+                    n_boiler += 1
+                continue
+        stack.extend(
+            c for c in reversed(el.child_nodes) if c.node_type == ELEMENT_NODE
+        )
+    return "\n".join(content_parts), n_content, n_boiler
+
+
+def classify_document(html, options, min_text_len, max_link_density):
+    """ONE document through parse + classify — the sidecar entry point for
+    prescan-flagged docs (kernel/redos_lane.py): pure args in, plain tuple
+    ``(main_text, n_content, n_boiler)`` out."""
+    return _classify_tree(parse(html, options), min_text_len, max_link_density)
+
+
 class BoilerplateClassifier:
     """Label top-level block regions content vs boilerplate; emit main text."""
 
@@ -72,67 +134,35 @@ class BoilerplateClassifier:
         self.options = options
 
     def _classify_doc(self, root: HTMLElement) -> tuple[str, int, int]:
-        """Decision regions are LEAF blocks (block elements with no direct
-        block-element child); wrappers descend, classifications stop descent.
-
-        Rules, in order per element:
-
-        1. structural containers (html/body/head) descend, never scored —
-           otherwise a wrapped page is one whole-document "content" region
-           and boilerplate stripping is a no-op;
-        2. boilerplate-tagged blocks (nav/header/footer/aside/form) count
-           boilerplate and are NOT descended — content-dense text inside a
-           footer must not leak into main_text;
-        3. blocks with a direct block child are wrappers: descend unscored
-           (their leaf blocks are the decisions);
-        4. leaf blocks score by text length / link density and stop.
-
-        Scored subtrees are disjoint, so feature extraction touches every
-        node at most once — the walk is linear in document size (the
-        previous top-down re-walk was O(depth x subtree) on nested divs).
-        """
-        content_parts: list[str] = []
-        n_content = 0
-        n_boiler = 0
-        stack = [c for c in reversed(root.child_nodes) if c.node_type == ELEMENT_NODE]
-        while stack:
-            el = stack.pop()
-            tag = el.tag_name.lower()
-            if is_block(el) and tag not in _STRUCTURAL_TAGS:
-                if tag in _BOILERPLATE_TAGS:
-                    n_boiler += 1
-                    continue
-                has_block_child = any(
-                    c.node_type == ELEMENT_NODE and is_block(c)
-                    for c in el.child_nodes
-                )
-                if not has_block_child:
-                    text_len, link_len, _ = _block_features(el)
-                    link_density = (link_len / text_len) if text_len else 1.0
-                    if (text_len >= self.min_text_len
-                            and link_density <= self.max_link_density):
-                        st = el.structured_text
-                        if st:
-                            content_parts.append(st)
-                        n_content += 1
-                    else:
-                        n_boiler += 1
-                    continue
-            stack.extend(
-                c for c in reversed(el.child_nodes) if c.node_type == ELEMENT_NODE
-            )
-        return "\n".join(content_parts), n_content, n_boiler
+        return _classify_tree(
+            root, self.min_text_len, self.max_link_density
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         htmls = htmls_from_batch(batch)
+        # bounded ReDoS lane (shared with extract_batch): flagged docs parse
+        # in the spawn sidecar; a timeout yields the empty classification
+        # ("", 0, 0 — same shape as an empty document), never a worker hang
+        timeout = _parse_timeout()
+        flagged = prescan_flags(htmls, timeout)
         out_text: list[str] = []
         out_nc: list[int] = []
         out_nb: list[int] = []
         out_ratio: list[float] = []
-        for html in htmls:
-            root = parse(html, self.options)
-            main_text, n_content, n_boiler = self._classify_doc(root)
+        for r, html in enumerate(htmls):
+            if flagged is not None and flagged[r]:
+                res = _SIDECAR.call(
+                    "node_html_parser_ray.stages.classify",
+                    "classify_document",
+                    (html, self.options, self.min_text_len,
+                     self.max_link_density),
+                    timeout,
+                )
+                main_text, n_content, n_boiler = res or ("", 0, 0)
+            else:
+                root = parse(html, self.options)
+                main_text, n_content, n_boiler = self._classify_doc(root)
             out_text.append(main_text)
             out_nc.append(n_content)
             out_nb.append(n_boiler)

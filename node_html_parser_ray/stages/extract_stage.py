@@ -36,6 +36,7 @@ __all__ = [
     "htmls_from_batch",
     "partition_ids",
     "add_partition_column",
+    "prescan_flags",
 ]
 
 OUT_SPAN_STRUCT = pa.struct(
@@ -140,6 +141,34 @@ def _parse_timeout() -> float:
     return float(env) if env else 10.0
 
 
+def prescan_flags(htmls: list[str], timeout: float):
+    """ReDoS prescan for a batch of assembled documents -> bool ndarray
+    (True = route to the bounded sidecar lane), or ``None`` when the lane
+    is disabled (``timeout <= 0``) or the batch is empty.
+
+    Stage 1 runs VECTORIZED (round-4 review follow-up): the pattern is
+    lookaround/backreference-free, so RE2's linear DFA (pyarrow
+    match_substring_regex) accepts exactly the same language as Python re —
+    measured 2 µs/doc vs 38 µs/doc for the Python engine on the bench
+    corpus (~8% of total extraction cost).  Only the rare stage-1 hits pay
+    the per-doc Python refinement (is_pathological: raw-text/comment
+    '<>'-sentinel strip + re-test).  Shared by every stage that parses
+    whole documents (extraction, selector, boilerplate classifier)."""
+    if timeout <= 0 or not htmls:
+        return None
+    import pyarrow.compute as pc
+
+    from ..kernel.parser import PATHOLOGICAL_RE2
+
+    stage1 = pc.match_substring_regex(
+        pa.array(htmls, pa.large_string()), PATHOLOGICAL_RE2
+    ).to_numpy(zero_copy_only=False)
+    flags = np.zeros(len(htmls), dtype=bool)
+    for i in np.flatnonzero(stage1):
+        flags[i] = is_pathological(htmls[i])
+    return flags if flags.any() else None
+
+
 # One persistent spawn sidecar per worker process for the bounded ReDoS
 # lane (kernel/redos_lane.py).  Round-4 review hardening: per-doc fork()
 # of the multithreaded Ray worker risked inherited-lock deadlocks that
@@ -205,26 +234,11 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
         htmls.append(html)
         media_maps.append(media_map)
 
-    # Stage-1 ReDoS prescan VECTORIZED over the whole batch (round-4 review
-    # follow-up): the pattern is lookaround/backreference-free, so RE2's
-    # linear DFA (pyarrow match_substring_regex) accepts exactly the same
-    # language as Python re — measured 2 µs/doc vs 38 µs/doc for the Python
-    # engine on the bench corpus (~8% of total extraction cost).  Only the
-    # rare stage-1 hits pay the per-doc Python refinement (is_pathological:
-    # raw-text/comment '<>'-sentinel strip + re-test).
-    flagged = None
-    if timeout > 0 and htmls:
-        import pyarrow.compute as pc
-
-        from ..kernel.parser import PATHOLOGICAL_RE2
-
-        flagged = pc.match_substring_regex(
-            pa.array(htmls, pa.large_string()), PATHOLOGICAL_RE2
-        ).to_numpy(zero_copy_only=False)
+    flagged = prescan_flags(htmls, timeout)
 
     for r in range(len(doc_ids)):
         html, media_map = htmls[r], media_maps[r]
-        if flagged is not None and flagged[r] and is_pathological(html):
+        if flagged is not None and flagged[r]:
             # bounded ReDoS lane: same kernel, spawn sidecar, hard wall bound
             res = _bounded_extract(html, media_map, options, timeout)
             if res is None:  # timed out: dropped invalid doc

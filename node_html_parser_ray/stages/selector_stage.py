@@ -13,12 +13,16 @@ from typing import Optional, Sequence
 
 import pyarrow as pa
 
-from .extract_stage import htmls_from_batch
+from .extract_stage import _SIDECAR, _parse_timeout, htmls_from_batch, prescan_flags
 from ..kernel.parser import parse
 from ..kernel.selector import Matcher, _explore_all
 
-__all__ = ["SelectorStage", "SELECTOR_OUTPUT_SCHEMA"]
+__all__ = ["SelectorStage", "SELECTOR_OUTPUT_SCHEMA", "select_document"]
 
+# n_matches is -1 for a document the bounded ReDoS lane dropped (sidecar
+# wall bound expired): the reference itself would never terminate on such a
+# document, so an explicit out-of-band count beats both hanging and a
+# silent 0.
 SELECTOR_OUTPUT_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
@@ -27,6 +31,37 @@ SELECTOR_OUTPUT_SCHEMA = pa.schema(
         ("matches", pa.list_(pa.large_string())),
     ]
 )
+
+
+def select_all(root, parts: list[Matcher]):
+    """querySelectorAll over pre-compiled comma-part matchers: pre-order
+    result, comma-union dedup by identity (reference src/index.ts:651-685
+    semantics)."""
+    seen: dict[int, object] = {}
+    for matcher in parts:
+        matcher.reset()
+        for el in _explore_all(root, matcher.clone()):
+            if id(el) not in seen:
+                seen[id(el)] = el
+    return list(seen.values())
+
+
+def select_document(html, selectors, options, emit_text):
+    """ONE document through parse + the whole selector set — the sidecar
+    entry point for prescan-flagged docs (kernel/redos_lane.py), so the
+    result is pure args in / plain lists out.  Compiles matchers per call:
+    only the rare flagged documents pay that.
+
+    Returns ``[(n_matches, texts), ...]`` aligned with ``selectors``."""
+    root = parse(html, options)
+    out = []
+    for sel in selectors:
+        parts = [Matcher(p.strip()) for p in sel.split(",") if p.strip()]
+        found = select_all(root, parts)
+        out.append(
+            (len(found), [el.text for el in found] if emit_text else [])
+        )
+    return out
 
 
 class SelectorStage:
@@ -68,17 +103,17 @@ class SelectorStage:
                     pass
 
     def _select_all(self, root, parts: list[Matcher]):
-        seen: dict[int, object] = {}
-        for matcher in parts:
-            matcher.reset()
-            for el in _explore_all(root, matcher.clone()):
-                if id(el) not in seen:
-                    seen[id(el)] = el
-        return list(seen.values())
+        return select_all(root, parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         htmls = htmls_from_batch(batch)
+
+        # bounded ReDoS lane (shared with extract_batch): flagged docs
+        # never reach explode_nodes_batch or parse() in-process — they run
+        # in the spawn sidecar; a timeout emits n_matches=-1 rows
+        timeout = _parse_timeout()
+        flagged = prescan_flags(htmls, timeout)
 
         out_doc: list[str] = []
         out_sel: list[str] = []
@@ -92,18 +127,22 @@ class SelectorStage:
 
             from .flat_select import columnar_select_mask, explode_nodes_batch
 
+            keep = [
+                r for r in range(len(doc_ids))
+                if flagged is None or not flagged[r]
+            ]
             nodes = explode_nodes_batch(
                 pa.Table.from_arrays(
-                    [pa.array([str(d) for d in doc_ids], pa.string()),
-                     pa.array(htmls, pa.large_string())],
+                    [pa.array([str(doc_ids[r]) for r in keep], pa.string()),
+                     pa.array([htmls[r] for r in keep], pa.large_string())],
                     names=["doc_id", "html"],
                 )
             )
             node_docs = np.asarray(nodes.column("doc_id").to_pylist())
             for sel in self.columnar:
                 mask = columnar_select_mask(nodes, sel)
-                for d in doc_ids:
-                    col_counts[(str(d), sel)] = 0
+                for r in keep:
+                    col_counts[(str(doc_ids[r]), sel)] = 0
                 hit_docs, hit_n = np.unique(node_docs[mask], return_counts=True)
                 for d, c in zip(hit_docs, hit_n):
                     col_counts[(str(d), sel)] = int(c)
@@ -112,7 +151,25 @@ class SelectorStage:
             (sel, parts) for sel, parts in self.compiled
             if sel not in self.columnar
         ]
-        for doc_id, html in zip(doc_ids, htmls):
+        for r, (doc_id, html) in enumerate(zip(doc_ids, htmls)):
+            if flagged is not None and flagged[r]:
+                res = _SIDECAR.call(
+                    "node_html_parser_ray.stages.selector_stage",
+                    "select_document",
+                    (html, self.selectors, self.options, self.emit_text),
+                    timeout,
+                )
+                for i, (sel, _parts) in enumerate(self.compiled):
+                    out_doc.append(doc_id)
+                    out_sel.append(sel)
+                    if res is None:  # wall bound expired: bounded-out doc
+                        out_n.append(-1)
+                    else:
+                        n, txts = res[i]
+                        out_n.append(n)
+                        flat_matches.extend(txts)
+                    offsets.append(len(flat_matches))
+                continue
             root = parse(html, self.options) if automaton else None
             for sel, parts in self.compiled:
                 out_doc.append(doc_id)

@@ -261,6 +261,96 @@ class TestBoundedLane:
         assert not sc._spawn_ok
 
 
+# flagged by the prescan but parses in well under a second: exercises the
+# sidecar round-trip (false-positive parity) without a long wall
+FLAGGED_FAST = (
+    "<p>before</p><a " + "a" * 12
+    + "\n<div class='c'><p>real text here</p></div>"
+)
+
+
+class TestBoundedSelectorClassifier:
+    """The selector and boilerplate stages parse whole documents too — they
+    share the extraction stage's prescan + spawn sidecar (round-4 review:
+    previously a pathological doc hung those actors unbounded)."""
+
+    def test_selector_stage_bounds_adversarial(self, monkeypatch):
+        from node_html_parser_ray.stages.selector_stage import SelectorStage
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "1.0")
+        batch = pa.Table.from_pylist(
+            [
+                _spans_row("good-1", "<div class='c'><p>hi</p><p>yo</p></div>"),
+                _spans_row("bad-1", ADVERSARIAL),
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        t0 = time.time()
+        out = SelectorStage(["p", "div.c"])(batch)
+        assert time.time() - t0 < 30.0
+        res = {(r["doc_id"], r["selector"]): r["n_matches"]
+               for r in out.to_pylist()}
+        assert res[("good-1", "p")] == 2
+        assert res[("good-1", "div.c")] == 1
+        # bounded-out doc: explicit out-of-band count, not a hang or a 0
+        assert res[("bad-1", "p")] == -1
+        assert res[("bad-1", "div.c")] == -1
+
+    def test_selector_stage_false_positive_parity(self, monkeypatch):
+        from node_html_parser_ray.stages.selector_stage import (
+            SelectorStage,
+            select_document,
+        )
+
+        assert is_pathological(FLAGGED_FAST)  # prescan FP by construction
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "30")
+        batch = pa.Table.from_pylist(
+            [_spans_row("fp-1", FLAGGED_FAST)], schema=INPUT_SCHEMA
+        )
+        out = SelectorStage(["p", "div.c"])(batch)
+        direct = select_document(FLAGGED_FAST, ["p", "div.c"], None, True)
+        got = [(r["n_matches"], list(r["matches"])) for r in out.to_pylist()]
+        assert got == [(n, txts) for n, txts in direct]
+        assert got[0] == (2, ["before", "real text here"])
+
+    def test_classifier_bounds_adversarial(self, monkeypatch):
+        from node_html_parser_ray.stages.classify import BoilerplateClassifier
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "1.0")
+        batch = pa.Table.from_pylist(
+            [
+                _spans_row("good-1", "<div><p>some real content text</p></div>"),
+                _spans_row("bad-1", ADVERSARIAL),
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        t0 = time.time()
+        out = BoilerplateClassifier(min_text_len=4)(batch)
+        assert time.time() - t0 < 30.0
+        res = {r["doc_id"]: r for r in out.to_pylist()}
+        assert res["good-1"]["n_content_blocks"] == 1
+        # bounded-out doc classifies like an empty document
+        assert res["bad-1"]["main_text"] == ""
+        assert res["bad-1"]["n_content_blocks"] == 0
+        assert res["bad-1"]["n_boilerplate_blocks"] == 0
+
+    def test_classifier_false_positive_parity(self, monkeypatch):
+        from node_html_parser_ray.stages.classify import (
+            BoilerplateClassifier,
+            classify_document,
+        )
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "30")
+        batch = pa.Table.from_pylist(
+            [_spans_row("fp-1", FLAGGED_FAST)], schema=INPUT_SCHEMA
+        )
+        out = BoilerplateClassifier(min_text_len=4)(batch).to_pylist()[0]
+        mt, nc, nb = classify_document(FLAGGED_FAST, None, 4, 0.5)
+        assert (out["main_text"], out["n_content_blocks"],
+                out["n_boilerplate_blocks"]) == (mt, nc, nb)
+        assert nc == 2
+
+
 class TestBoundedEndToEnd:
     def test_run_checkpointed_streams_adversarial_corpus(
         self, ray_session, tmp_path, monkeypatch
