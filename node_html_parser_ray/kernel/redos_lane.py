@@ -56,6 +56,17 @@ def _resolve(module: str, func: str):
     return getattr(importlib.import_module(module), func)
 
 
+# modules the sidecar pre-imports BEFORE the readiness handshake (lazy
+# per-request import would otherwise run inside the first request's wall
+# budget); best-effort — a missing module just falls back to lazy import
+_PREWARM = (
+    "node_html_parser_ray.stages.extract_stage",
+    "node_html_parser_ray.stages.selector_stage",
+    "node_html_parser_ray.stages.classify",
+    "node_html_parser_ray.stages.flat_select",
+)
+
+
 def _sidecar_loop(conn) -> None:
     """Child body: pure compute over a pipe, one request -> one reply.
 
@@ -65,11 +76,22 @@ def _sidecar_loop(conn) -> None:
     stdin — where CPython's spawn re-import dies before this loop runs):
     startup death must surface as a spawn FAILURE (-> the never-spawned
     in-process fallback, preserving prescan-FP parity), never masquerade
-    as a per-document timeout (-> silent doc drop).
+    as a per-document timeout (-> silent doc drop).  Stage modules
+    pre-import before the handshake so their ~0.6 s pyarrow/numpy import
+    chain is charged to startup, never to the first flagged document's
+    wall budget (review finding).
 
-    A function exception travels back as an ``("err", repr)`` envelope and
-    is re-raised in the parent — the same observable behavior the caller
-    would get running the function in-process (parity for prescan FPs)."""
+    A function exception travels back as an ``("err", repr)`` envelope;
+    the parent turns it into ``None`` — the doc is recorded bounded-out
+    like a timeout, NOT escalated to a whole-batch failure (review
+    finding: raising in the parent made one poisonous doc fail its entire
+    Ray task on every retry, where the pre-envelope behavior dropped just
+    the doc)."""
+    for m in _PREWARM:
+        try:
+            importlib.import_module(m)
+        except Exception:  # noqa: BLE001 — prewarm is best-effort
+            pass
     conn.send(("ready", None))
     while True:
         try:
@@ -82,7 +104,7 @@ def _sidecar_loop(conn) -> None:
         module, func, args = msg
         try:
             conn.send(("ok", _resolve(module, func)(*args)))
-        except Exception as ex:  # noqa: BLE001 — envelope, re-raised in parent
+        except Exception as ex:  # noqa: BLE001 — envelope, None in parent
             conn.send(("err", repr(ex)))
 
 
@@ -94,9 +116,10 @@ class RedosSidecar:
 
     ``call(module, func, args, timeout)`` returns the function result, or
     ``None`` when the wall bound expires (the sidecar is then killed and
-    will respawn on the next call); a function exception re-raises in the
-    caller.  Thread-safe; one instance is held per worker process (module
-    global in ``stages.extract_stage``)."""
+    will respawn on the next call) OR when the function raised in the
+    child (bounded drop of that one doc, never a whole-batch failure).
+    Thread-safe; one instance is held per worker process (module global
+    in ``stages.extract_stage``)."""
 
     def __init__(self) -> None:
         self._proc = None
@@ -116,11 +139,12 @@ class RedosSidecar:
         proc = ctx.Process(target=_sidecar_loop, args=(child,), daemon=True)
         proc.start()
         child.close()
+        self._proc, self._conn = proc, parent
         # readiness handshake: a child that died during spawn preparation
         # raises here (EOFError/timeout) so the caller sees a SPAWN failure
         # (never-spawned -> in-process fallback), not a fake doc timeout.
-        # Startup cost is thereby also excluded from the first document's
-        # wall budget.
+        # Startup cost — including the child's stage-module prewarm — is
+        # thereby excluded from the first document's wall budget.
         try:
             if not parent.poll(30.0):
                 raise RuntimeError("sidecar did not become ready")
@@ -128,15 +152,8 @@ class RedosSidecar:
             if status != "ready":
                 raise RuntimeError(f"unexpected sidecar handshake: {status}")
         except Exception:
-            parent.close()
-            if proc.is_alive():
-                proc.terminate()
-                proc.join(1.0)
-                if proc.is_alive():
-                    proc.kill()
-            proc.join()
+            self._close()
             raise
-        self._proc, self._conn = proc, parent
         self._spawn_ok = True
 
     def _close(self) -> None:
@@ -155,8 +172,9 @@ class RedosSidecar:
         self._proc = self._conn = None
 
     def call(self, module: str, func: str, args: tuple, timeout: float):
-        """Bounded run of ``module.func(*args)``; ``None`` on timeout/crash
-        (caller records the doc as dropped/bounded-out).
+        """Bounded run of ``module.func(*args)``; ``None`` on timeout,
+        child crash, or child-raised exception (caller records the doc as
+        dropped/bounded-out).
 
         Setup/send failure (round-4 review fix): if a spawn has EVER
         succeeded in this process, a later failure is transient resource
@@ -187,7 +205,13 @@ class RedosSidecar:
                 self._close()  # timeout: kill; next call respawns
                 return None
         if status == "err":
-            raise RuntimeError(f"sidecar function raised: {payload}")
+            # the function raised in the child: bounded drop of this one
+            # doc (same caller-visible shape as a timeout) — escalating
+            # would turn one poisonous doc into a whole-Ray-task poison
+            # pill re-presented on every retry.  The never-spawned
+            # in-process fallback still raises naturally (reference
+            # behavior on platforms without spawn).
+            return None
         return payload
 
     def extract(self, html, media_map, options, timeout):

@@ -1382,24 +1382,45 @@ def q_partition_metrics(sf_dir: str):
 
 def q_dom_api(sf_dir: str):
     """DOM-API operator sweep per doc: structure depth, toJSON size,
-    removeWhitespace/trimRight effects (rows-only determinism check)."""
-    from ..kernel.parser import parse
+    removeWhitespace/trimRight effects (rows-only determinism check).
+
+    Corpus text embeds RAW in the synthesized html, so a wild document
+    could smuggle a ReDoS shape — the per-doc sweep routes through the
+    shared prescan + sidecar lane like every other whole-document parse
+    (round-4 review); a bounded-out doc emits (-1, -1, -1) sentinels
+    (the reference would never terminate on it; no sf corpus doc flags)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..stages.extract_stage import (
+            SIDECAR,
+            dom_api_document,
+            parse_timeout,
+            prescan_flags,
+        )
+
         doc_ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        htmls = [
+            f'<div id="d{d}" class="a b"> {t or ""} <span>x</span> <!--c--> </div>'
+            for d, t in zip(doc_ids, texts)
+        ]
+        timeout = parse_timeout()
+        flagged = prescan_flags(htmls, timeout)
         n_struct_lines = []
         n_json_children = []
         n_after_ws = []
-        for d, t in zip(doc_ids, texts):
-            html = f'<div id="d{d}" class="a b"> {t or ""} <span>x</span> <!--c--> </div>'
-            root = parse(html, {"comment": True})
-            n_struct_lines.append(len(root.first_child.structure.splitlines()))
-            n_json_children.append(len(root.to_json()["children"]))
-            clone = parse(html, {"comment": True})
-            clone.first_child.remove_whitespace()
-            clone.first_child.trim_right("x")
-            n_after_ws.append(len(clone.first_child.child_nodes))
+        for r, html in enumerate(htmls):
+            if flagged is not None and flagged[r]:
+                res = SIDECAR.call(
+                    "node_html_parser_ray.stages.extract_stage",
+                    "dom_api_document", (html,), timeout,
+                )
+                ns, nj, na = res if res is not None else (-1, -1, -1)
+            else:
+                ns, nj, na = dom_api_document(html)
+            n_struct_lines.append(ns)
+            n_json_children.append(nj)
+            n_after_ws.append(na)
         return pa.Table.from_arrays(
             [
                 pa.array([int(d) for d in doc_ids], pa.int64()),

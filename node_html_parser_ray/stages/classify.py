@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from ..kernel.dom import ELEMENT_NODE, HTMLElement, is_block
 from ..kernel.parser import parse
-from .extract_stage import _SIDECAR, _parse_timeout, htmls_from_batch, prescan_flags
+from .extract_stage import SIDECAR, parse_timeout, htmls_from_batch, prescan_flags
 
 __all__ = ["BoilerplateClassifier", "CLASSIFY_OUTPUT_SCHEMA", "classify_document"]
 
@@ -144,7 +144,7 @@ class BoilerplateClassifier:
         # bounded ReDoS lane (shared with extract_batch): flagged docs parse
         # in the spawn sidecar; a timeout yields the empty classification
         # ("", 0, 0 — same shape as an empty document), never a worker hang
-        timeout = _parse_timeout()
+        timeout = parse_timeout()
         flagged = prescan_flags(htmls, timeout)
         out_text: list[str] = []
         out_nc: list[int] = []
@@ -152,7 +152,7 @@ class BoilerplateClassifier:
         out_ratio: list[float] = []
         for r, html in enumerate(htmls):
             if flagged is not None and flagged[r]:
-                res = _SIDECAR.call(
+                res = SIDECAR.call(
                     "node_html_parser_ray.stages.classify",
                     "classify_document",
                     (html, self.options, self.min_text_len,

@@ -37,6 +37,9 @@ __all__ = [
     "partition_ids",
     "add_partition_column",
     "prescan_flags",
+    "parse_timeout",
+    "SIDECAR",
+    "dom_api_document",
 ]
 
 OUT_SPAN_STRUCT = pa.struct(
@@ -131,7 +134,7 @@ def htmls_from_batch(batch: pa.Table) -> list[str]:
     ]
 
 
-def _parse_timeout() -> float:
+def parse_timeout() -> float:
     """Per-document wall bound for prescan-flagged parses (seconds).
     ``NHPR_PARSE_TIMEOUT`` overrides; <=0 disables the bounded lane
     (flagged docs then parse in-process, reference behavior)."""
@@ -175,7 +178,25 @@ def prescan_flags(htmls: list[str], timeout: float):
 # present as timeouts (silent nondeterministic doc drops); the spawn
 # sidecar starts lock-free and amortizes its startup across the worker's
 # lifetime.
-_SIDECAR = RedosSidecar()
+SIDECAR = RedosSidecar()
+
+
+def dom_api_document(html: str) -> tuple[int, int, int]:
+    """ONE document through the q_dom_api operator sweep — the sidecar
+    entry point for prescan-flagged docs (kernel/redos_lane.py): pure args
+    in, plain ints out.  Returns ``(n_structure_lines, n_json_children,
+    n_children_after_rw)``; parses twice like the in-process path so the
+    removeWhitespace/trimRight mutations never affect the first two
+    metrics."""
+    from ..kernel.parser import parse
+
+    root = parse(html, {"comment": True})
+    n_struct = len(root.first_child.structure.splitlines())
+    n_json = len(root.to_json()["children"])
+    clone = parse(html, {"comment": True})
+    clone.first_child.remove_whitespace()
+    clone.first_child.trim_right("x")
+    return n_struct, n_json, len(clone.first_child.child_nodes)
 
 
 def _bounded_extract(html, media_map, options, timeout):
@@ -185,7 +206,7 @@ def _bounded_extract(html, media_map, options, timeout):
     mid-match, so a kill-able process is the only hard bound.  Returns the
     kernel result tuple, or None on timeout/crash.  Prescan false
     positives come back bit-identical, just paying IPC latency."""
-    return _SIDECAR.extract(html, media_map, options, timeout)
+    return SIDECAR.extract(html, media_map, options, timeout)
 
 
 def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
@@ -222,7 +243,7 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
 
     metrics = ParseMetrics()
     total_spans = 0
-    timeout = _parse_timeout()
+    timeout = parse_timeout()
 
     htmls: list[str] = []
     media_maps: list[dict] = []

@@ -34,6 +34,7 @@ from ..kernel.selector import _ATTR_SELECTOR_RE, _SELECTOR_PART_RE
 
 __all__ = [
     "explode_nodes_batch",
+    "explode_document",
     "columnar_part_mask",
     "columnar_select_mask",
     "selector_counts",
@@ -114,10 +115,58 @@ def _attr_op_mask(col, key: str, op: str, value: str):
     raise ValueError(f"unsupported attr operator: {op!r}")
 
 
+def explode_document(html: str):
+    """ONE document's flattened node rows — parse + pre-order walk (same
+    ids as flatten_tree but with id/class materialised for columnar
+    checks).  Module-level so the ReDoS sidecar can run it for
+    prescan-flagged docs (kernel/redos_lane.py): pure args in, plain
+    lists ``(nid, pid, kind, tag, id, cls, attrs)`` out."""
+    out_nid: list[int] = []
+    out_pid: list[int] = []
+    out_kind: list[int] = []
+    out_tag: list[str] = []
+    out_id: list[str] = []
+    out_cls: list[str] = []
+    out_attrs: list[str] = []
+    root = parse(html or "")
+    stack = [(root, -1)]
+    nid = 0
+    while stack:
+        node, pid = stack.pop()
+        is_el = node.node_type == 1
+        out_nid.append(nid)
+        out_pid.append(pid)
+        out_kind.append(node.node_type)
+        if is_el:
+            out_tag.append(node.tag_name)
+            out_id.append(node.id)
+            out_cls.append(" ".join(node.class_names))
+            out_attrs.append(
+                _encode_attrs(node.attributes) if node.raw_attrs else ""
+            )
+            stack.extend((c, nid) for c in reversed(node.child_nodes))
+        else:
+            out_tag.append("")
+            out_id.append("")
+            out_cls.append("")
+            out_attrs.append("")
+        nid += 1
+    return out_nid, out_pid, out_kind, out_tag, out_id, out_cls, out_attrs
+
+
 def explode_nodes_batch(batch: pa.Table) -> pa.Table:
-    """Parse each document and emit its flattened nodes as table rows."""
+    """Parse each document and emit its flattened nodes as table rows.
+
+    Prescan-flagged docs run in the bounded ReDoS sidecar (shared lane —
+    round-4 review closed this last unbounded parse path); a bounded-out
+    doc contributes NO node rows, i.e. it matches nothing, mirroring the
+    selector automaton lane's -1 sentinel semantics at this layer."""
+    from .extract_stage import SIDECAR, parse_timeout, prescan_flags
+
     doc_ids = batch.column("doc_id").to_pylist()
     htmls = htmls_from_batch(batch)
+    timeout = parse_timeout()
+    flagged = prescan_flags(htmls, timeout)
 
     out_doc: list[str] = []
     out_nid: list[int] = []
@@ -127,33 +176,25 @@ def explode_nodes_batch(batch: pa.Table) -> pa.Table:
     out_id: list[str] = []
     out_cls: list[str] = []
     out_attrs: list[str] = []
-    for doc_id, html in zip(doc_ids, htmls):
-        root = parse(html or "")
-        # walk pre-order collecting element metadata (same ids as
-        # flatten_tree but with id/class materialised for columnar checks)
-        stack = [(root, -1)]
-        nid = 0
-        while stack:
-            node, pid = stack.pop()
-            is_el = node.node_type == 1
-            out_doc.append(str(doc_id))
-            out_nid.append(nid)
-            out_pid.append(pid)
-            out_kind.append(node.node_type)
-            if is_el:
-                out_tag.append(node.tag_name)
-                out_id.append(node.id)
-                out_cls.append(" ".join(node.class_names))
-                out_attrs.append(
-                    _encode_attrs(node.attributes) if node.raw_attrs else ""
-                )
-                stack.extend((c, nid) for c in reversed(node.child_nodes))
-            else:
-                out_tag.append("")
-                out_id.append("")
-                out_cls.append("")
-                out_attrs.append("")
-            nid += 1
+    for r, (doc_id, html) in enumerate(zip(doc_ids, htmls)):
+        if flagged is not None and flagged[r]:
+            res = SIDECAR.call(
+                "node_html_parser_ray.stages.flat_select",
+                "explode_document", (html,), timeout,
+            )
+            if res is None:  # wall bound expired: bounded-out doc
+                continue
+        else:
+            res = explode_document(html)
+        nid_l, pid_l, kind_l, tag_l, id_l, cls_l, attrs_l = res
+        out_doc.extend([str(doc_id)] * len(nid_l))
+        out_nid.extend(nid_l)
+        out_pid.extend(pid_l)
+        out_kind.extend(kind_l)
+        out_tag.extend(tag_l)
+        out_id.extend(id_l)
+        out_cls.extend(cls_l)
+        out_attrs.extend(attrs_l)
     return pa.Table.from_arrays(
         [
             pa.array(out_doc, pa.string()),

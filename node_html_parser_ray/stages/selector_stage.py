@@ -13,7 +13,7 @@ from typing import Optional, Sequence
 
 import pyarrow as pa
 
-from .extract_stage import _SIDECAR, _parse_timeout, htmls_from_batch, prescan_flags
+from .extract_stage import SIDECAR, parse_timeout, htmls_from_batch, prescan_flags
 from ..kernel.parser import parse
 from ..kernel.selector import Matcher, _explore_all
 
@@ -112,7 +112,7 @@ class SelectorStage:
         # bounded ReDoS lane (shared with extract_batch): flagged docs
         # never reach explode_nodes_batch or parse() in-process — they run
         # in the spawn sidecar; a timeout emits n_matches=-1 rows
-        timeout = _parse_timeout()
+        timeout = parse_timeout()
         flagged = prescan_flags(htmls, timeout)
 
         out_doc: list[str] = []
@@ -153,7 +153,7 @@ class SelectorStage:
         ]
         for r, (doc_id, html) in enumerate(zip(doc_ids, htmls)):
             if flagged is not None and flagged[r]:
-                res = _SIDECAR.call(
+                res = SIDECAR.call(
                     "node_html_parser_ray.stages.selector_stage",
                     "select_document",
                     (html, self.selectors, self.options, self.emit_text),

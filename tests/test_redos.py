@@ -334,6 +334,85 @@ class TestBoundedSelectorClassifier:
         assert res["bad-1"]["n_content_blocks"] == 0
         assert res["bad-1"]["n_boilerplate_blocks"] == 0
 
+    def test_explode_nodes_bounds_adversarial(self, monkeypatch):
+        """The standalone columnar node-explode path (review finding: the
+        last unbounded whole-document parse) shares the lane; a
+        bounded-out doc contributes zero node rows."""
+        from node_html_parser_ray.stages.flat_select import explode_nodes_batch
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "1.0")
+        batch = pa.Table.from_pylist(
+            [
+                _spans_row("good-1", "<div><p>hello</p></div>"),
+                _spans_row("bad-1", ADVERSARIAL),
+            ],
+            schema=INPUT_SCHEMA,
+        )
+        t0 = time.time()
+        nodes = explode_nodes_batch(batch)
+        assert time.time() - t0 < 30.0
+        docs = set(nodes.column("doc_id").to_pylist())
+        assert "good-1" in docs
+        assert "bad-1" not in docs
+
+    def test_explode_nodes_false_positive_parity(self, monkeypatch):
+        from node_html_parser_ray.stages.flat_select import (
+            explode_document,
+            explode_nodes_batch,
+        )
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "30")
+        batch = pa.Table.from_pylist(
+            [_spans_row("fp-1", FLAGGED_FAST)], schema=INPUT_SCHEMA
+        )
+        nodes = explode_nodes_batch(batch)
+        direct = explode_document(FLAGGED_FAST)
+        assert nodes.column("node_id").to_pylist() == direct[0]
+        assert nodes.column("tag").to_pylist() == direct[3]
+
+    def test_dom_api_query_bounds_adversarial(self, monkeypatch):
+        """q_dom_api embeds corpus text raw in its synthesized html
+        (review finding) — flagged docs route through the lane; a
+        bounded-out doc emits (-1,-1,-1) sentinels."""
+        import numpy as np
+
+        from node_html_parser_ray.stages.extract_stage import (
+            SIDECAR,
+            dom_api_document,
+            prescan_flags,
+        )
+
+        text = "<a " + "a" * 40  # wild corpus text smuggling the shape
+        html = f'<div id="d1" class="a b"> {text} <span>x</span> <!--c--> </div>'
+        flags = prescan_flags([html], 1.0)
+        assert flags is not None and bool(flags[0])
+        assert SIDECAR.call(
+            "node_html_parser_ray.stages.extract_stage",
+            "dom_api_document", (html,), 1.0,
+        ) is None
+        # FP parity: a benign flagged doc returns real values via the lane
+        fp = f'<div id="d1" class="a b"> {FLAGGED_FAST} <span>x</span> <!--c--> </div>'
+        assert prescan_flags([fp], 1.0) is not None
+        res = SIDECAR.call(
+            "node_html_parser_ray.stages.extract_stage",
+            "dom_api_document", (fp,), 30.0,
+        )
+        assert res == tuple(dom_api_document(fp))
+
+    def test_sidecar_child_exception_is_bounded_drop(self):
+        """A function raising in the child returns None (this one doc is
+        dropped bounded) — review finding: raising in the parent instead
+        made the whole Ray task fail on every retry."""
+        from node_html_parser_ray.kernel.redos_lane import RedosSidecar
+
+        sc = RedosSidecar()
+        try:
+            assert sc.call("builtins", "int", ("not-a-number",), 30.0) is None
+            # the sidecar survives the exception and still serves requests
+            assert sc.call("builtins", "int", ("17",), 30.0) == 17
+        finally:
+            sc._close()
+
     def test_classifier_false_positive_parity(self, monkeypatch):
         from node_html_parser_ray.stages.classify import (
             BoilerplateClassifier,
