@@ -101,6 +101,34 @@ def _shard_col(col, n_shards: int) -> "pa.Array":
     )
 
 
+def _shard_col_np(key, n_shards: int):
+    """Numpy/pandas twin of :func:`_shard_col` for the map_groups stages
+    that shard inside a pandas frame — SAME mask/cast idiom, one place
+    (review finding: two inline copies had drifted from the documented
+    single-implementation invariant)."""
+    return (key & (n_shards - 1)).astype("int32")
+
+
+def _round_cents_nonneg(x, scale: float = 100.0):
+    """``np.floor(x * scale + 0.5)`` as int64 — SQL ROUND for the
+    NON-NEGATIVE money columns (o_totalprice, l_extendedprice×discount
+    factors, all >= 0 by the TPC-H data contract).  numpy twin of the
+    sign-aware Arrow :func:`_round_half_away`; one implementation for the
+    six sites that hash money against a DuckDB oracle."""
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype("int64")
+
+
+def _mod_keep(col, n: int, r: int = 0):
+    """Arrow mask ``col % n == r`` for non-negative int64 ids via
+    divide/multiply/subtract (pyarrow has no modulo kernel); shared by the
+    deterministic-sampling queries."""
+    q = pc.divide(col, pa.scalar(n, pa.int64()))
+    return pc.equal(
+        pc.subtract(col, pc.multiply(q, pa.scalar(n, pa.int64()))),
+        pa.scalar(r, pa.int64()),
+    )
+
+
 def _round_half_away(col, scale: float) -> "pa.Array":
     """DuckDB-style ``ROUND(col * scale)`` as int64: half AWAY FROM ZERO.
 
@@ -231,8 +259,6 @@ def q_structured_text(sf_dir: str):
     ``'\\n'.join(text spans)`` equals ``structured_text`` exactly (verified
     by the ported html.spec tests + the fast-path differential suite).
     """
-    import ray
-
     from ..kernel.fast_extract import extract_spans_fast
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -250,19 +276,43 @@ def q_structured_text(sf_dir: str):
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+def _first_per_row(spans_col, kind: str, field: str):
+    """Vectorized per-row reduction over a spans list<struct> column:
+    ``(count of spans with kind==kind, first matching span's `field` or
+    "")`` — no per-row Python loop (review finding: the to_pylist span
+    loops were the anti-pattern this file's own synthesis docstrings call
+    out).  Returns ``(np.ndarray[int64], pa.Array[str])``."""
+    from ..stages.extract_stage import _row_offsets
+
+    spans_col = spans_col.combine_chunks()
+    row_off = _row_offsets(spans_col)
+    flat = spans_col.flatten()
+    hit = pc.equal(pc.fill_null(flat.field("kind"), ""), kind).to_numpy(
+        zero_copy_only=False
+    )
+    csum = np.concatenate([np.zeros(1, np.int64),
+                           np.cumsum(hit, dtype=np.int64)])
+    counts = csum[row_off[1:]] - csum[row_off[:-1]]
+    has = counts > 0
+    if not has.any():
+        return counts, pa.array([""] * (len(row_off) - 1), pa.string())
+    pos = np.flatnonzero(hit)
+    first_idx = pos[np.searchsorted(pos, row_off[:-1])[: len(counts)].clip(
+        0, len(pos) - 1)]
+    vals = pc.cast(
+        pc.fill_null(flat.field(field), ""), pa.string()
+    ).take(pa.array(first_idx, pa.int64()))
+    return counts, pc.if_else(pa.array(has), vals, "")
+
+
 def q_media_refs(sf_dir: str):
     """Parse synthesized HTML, extract the img media_ref per document."""
 
     def fn(batch: pa.Table) -> pa.Table:
         out = extract_stage.extract_batch(_wrap_html_batch(batch))
-        doc_ids = out.column("doc_id").to_pylist()
-        refs = []
-        for row in out.column("spans").to_pylist():
-            media = [s["media_ref"] for s in row if s["kind"] == "image"]
-            refs.append(media[0] if media else "")
+        _, refs = _first_per_row(out.column("spans"), "image", "media_ref")
         return pa.Table.from_arrays(
-            [pa.array([int(d) for d in doc_ids], pa.int64()),
-             pa.array(refs, pa.string())],
+            [pc.cast(out.column("doc_id"), pa.int64()), refs],
             names=["doc_id", "media_ref"],
         )
 
@@ -282,16 +332,11 @@ def q_text_spans(sf_dir: str):
             names=["doc_id", "html"],
         )
         out = extract_stage.extract_batch(wrapped)
-        n_spans = []
-        first_text = []
-        for row in out.column("spans").to_pylist():
-            text_spans = [s for s in row if s["kind"] == "text"]
-            n_spans.append(len(text_spans))
-            first_text.append(text_spans[0]["text"] if text_spans else "")
+        n_spans, first_text = _first_per_row(out.column("spans"), "text", "text")
         return pa.Table.from_arrays(
             [pa.array([int(d) for d in doc_ids], pa.int64()),
              pa.array(n_spans, pa.int64()),
-             pa.array(first_text, pa.string())],
+             first_text],
             names=["doc_id", "n_text_spans", "first_span"],
         )
 
@@ -299,7 +344,6 @@ def q_text_spans(sf_dir: str):
 
 
 def q_doc_stats_by_lang(sf_dir: str):
-    import ray
     from ray.data.aggregate import Count, Sum
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -339,7 +383,6 @@ def q_exact_dedup(sf_dir: str):
 
     The shuffle key is the 8-byte hash, not the document text.
     """
-    import ray
     from ray.data.aggregate import Count, Min
 
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
@@ -437,11 +480,16 @@ def q_ann_topk(sf_dir: str):
         fn_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
     )
-    # global top-k over the small per-block candidate set
-    table = candidates.to_arrow_refs()
-    import ray as _ray
-
-    merged = pa.concat_tables(_nonempty([_ray.get(r) for r in table]))
+    # global top-k over the small per-block candidate set; the corpus can
+    # hold ONLY the query vector (excluded), leaving zero candidates —
+    # concat_tables([]) raises, so return the empty result explicitly
+    blocks = _nonempty([ray.get(r) for r in candidates.to_arrow_refs()])
+    if not blocks:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["rank", "vec_id"],
+        )
+    merged = pa.concat_tables(blocks)
     idx = sorted(
         range(len(merged)),
         key=lambda i: (-merged.column("cosine")[i].as_py(), merged.column("vec_id")[i].as_py()),
@@ -479,13 +527,20 @@ def q_ann_topk_ivf(sf_dir: str):
             [pa.array([], pa.int64()), pa.array([], pa.int64())],
             names=["rank", "vec_id"],
         )
+    # slice BEFORE to_pylist: a row group can hold 10^5+ vectors at scale
+    # and the quantizer sample needs only the first 2048 (review finding)
     sample = pf.read_row_group(0, columns=["embedding"])
     sample_mat = np.asarray(
-        sample.column("embedding").to_pylist()[:2048], dtype=np.float32
+        sample.slice(0, 2048).column("embedding").to_pylist(), dtype=np.float32
     )
     centroids = similarity.spherical_kmeans(sample_mat, k=16)
     qt = pq.read_table(path, columns=["vec_id", "embedding"],
                        filters=[("vec_id", "==", 0)])
+    if qt.num_rows == 0:  # missing query vector (same guard as q_ann_topk)
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["rank", "vec_id"],
+        )
     q = np.asarray(qt.column("embedding")[0].as_py(), dtype=np.float32).reshape(1, -1)
     cells = similarity.probe_cells(q, centroids, nprobe=4)
 
@@ -507,9 +562,13 @@ def q_ann_topk_ivf(sf_dir: str):
         fn_kwargs={"query_ref": q_ref, "k": 10, "exclude_ids": [0]},
         batch_format="pyarrow",
     )
-    merged = pa.concat_tables(
-        _nonempty([ray.get(r) for r in candidates.to_arrow_refs()])
-    )
+    blocks = _nonempty([ray.get(r) for r in candidates.to_arrow_refs()])
+    if not blocks:  # probed cells held only the (excluded) query vector
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["rank", "vec_id"],
+        )
+    merged = pa.concat_tables(blocks)
     idx = sorted(
         range(len(merged)),
         key=lambda i: (-merged.column("cosine")[i].as_py(),
@@ -671,14 +730,13 @@ def q_top_spenders(sf_dir: str):
 
     def block_topk(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["o_custkey", "n_orders", "sum_raw"])
-        # half-away rounding to match SQL ROUND (pandas .round is half-to-even).
-        # floor(x+0.5) is valid here because o_totalprice >= 0 by the TPC-H
-        # data contract (sums of it stay non-negative); unconstrained columns
-        # (events.value) use the sign-aware _round_half_away instead.
+        # non-negative money by the TPC-H contract (see _round_cents_nonneg;
+        # unconstrained columns like events.value use the sign-aware
+        # _round_half_away instead)
         cents = pa.array(
-            np.floor(
-                batch.column("sum_raw").to_numpy(zero_copy_only=False) * 100 + 0.5
-            ).astype("int64"),
+            _round_cents_nonneg(
+                batch.column("sum_raw").to_numpy(zero_copy_only=False)
+            ),
             pa.int64(),
         )
         batch = pa.Table.from_arrays(
@@ -730,15 +788,13 @@ def q_pricing_summary(sf_dir: str):
             pa.scalar(np.datetime64(cutoff + "T00:00:00", "us"), pa.timestamp("us")),
         )
         df = batch.filter(mask).to_pandas()
-        # half-away-from-zero rounding (floor(x+0.5) for positives) to match
-        # SQL ROUND; pandas .round() is half-to-even and hash-mismatches.
-        # Valid because l_quantity/l_extendedprice >= 0 and 0 <= l_discount
-        # <= 1 by the TPC-H data contract (see _round_half_away otherwise).
-        df["qty_milli"] = np.floor(df["l_quantity"] * 1000 + 0.5).astype("int64")
-        df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
-        df["disc_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        # non-negative by the TPC-H contract: l_quantity/l_extendedprice
+        # >= 0, 0 <= l_discount <= 1 (see _round_cents_nonneg)
+        df["qty_milli"] = _round_cents_nonneg(df["l_quantity"], 1000.0)
+        df["base_cents"] = _round_cents_nonneg(df["l_extendedprice"])
+        df["disc_cents"] = _round_cents_nonneg(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             part_n=("qty_milli", "size"),
             part_qty=("qty_milli", "sum"),
@@ -808,10 +864,9 @@ def q_revenue_by_region(sf_dir: str):
 
         df = batch.to_pandas()
         df["r_name"] = df["l_suppkey"].map(supp_to_region)
-        # half-away rounding to match SQL ROUND (see q_pricing_summary)
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _round_cents_nonneg(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        )
         g = df.groupby("r_name", as_index=False).agg(
             part_n=("rev_cents", "size"), part_rev=("rev_cents", "sum")
         )
@@ -881,14 +936,13 @@ def q_segment_order_revenue(sf_dir: str):
         import pandas as pd
 
         df = batch.to_pandas()
-        # half-away rounding to match SQL ROUND (see q_pricing_summary)
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _round_cents_nonneg(
+            df["l_extendedprice"] * (1 - df["l_discount"])
+        )
         g = df.groupby("l_orderkey", as_index=False).agg(
             part_rev=("rev_cents", "sum")
         )
-        g["shard"] = (g["l_orderkey"] & (n_shards - 1)).astype("int32")
+        g["shard"] = _shard_col_np(g["l_orderkey"], n_shards)
         g["o_orderdate"] = pd.Series(dtype="datetime64[us]")
         g = g.rename(columns={"l_orderkey": "o_orderkey"})
         return pa.Table.from_pandas(
@@ -950,12 +1004,9 @@ def q_segment_order_revenue(sf_dir: str):
 def q_distinct_lang_source(sf_dir: str):
     """DISTINCT as a scale pattern: per-batch local dedupe (combiner) before
     the groupby, so the shuffle moves unique pairs per block, not rows."""
-    import ray
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
-    )
+    ds = _docs(sf_dir, columns=["lang", "source"])
 
     def local_distinct(batch: pa.Table) -> pa.Table:
         batch = pa.table({
@@ -1062,7 +1113,7 @@ def q_asof_last_order(sf_dir: str):
             [pa.array(df["o_orderkey"], pa.int64()),
              pa.array(key, pa.int64()),
              pa.array(df["o_orderdate"], pa.timestamp("us")),
-             pa.array((key & (n_shards - 1)).astype("int32"), pa.int32()),
+             pa.array(_shard_col_np(key, n_shards), pa.int32()),
              pa.array([False] * len(df), pa.bool_())],
             names=["event_id", "key", "ts", "shard", "is_event"],
         )
@@ -1127,7 +1178,7 @@ def q_top_orders_per_segment(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["segment"] = df["o_custkey"].map(seg_of)
-        df["price_cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+        df["price_cents"] = _round_cents_nonneg(df["o_totalprice"])
         df = df.sort_values(["price_cents", "o_orderkey"],
                             ascending=[False, True])
         top = df.groupby("segment", as_index=False).head(3)
@@ -1201,21 +1252,11 @@ def q_sample_mod(sf_dir: str):
     filter — vectorized predicate, evaluated block-local, no shuffle.  The
     reproducible-mod sample is the scale-safe way to subset a corpus for
     validation runs (random_sample() is nondeterministic across retries)."""
-    import ray
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
 
     def fil(batch: pa.Table) -> pa.Table:
-        # modulo via subtract(multiply(divide)) — pc has no direct %
-        q = pc.divide(batch.column("doc_id"), pa.scalar(20, pa.int64()))
-        keep = pc.equal(
-            pc.subtract(batch.column("doc_id"),
-                        pc.multiply(q, pa.scalar(20, pa.int64()))),
-            pa.scalar(0, pa.int64()),
-        )
-        return batch.filter(keep)
+        return batch.filter(_mod_keep(batch.column("doc_id"), 20))
 
     return ds.map_batches(fil, batch_format="pyarrow")
 
@@ -1326,9 +1367,7 @@ def q_validation_pass_rate(sf_dir: str):
         batch_format="pyarrow",
         batch_size=32,
     )
-    import ray as _ray
-
-    merged = pa.concat_tables(_nonempty([_ray.get(r) for r in parts.to_arrow_refs()]))
+    merged = pa.concat_tables(_nonempty([ray.get(r) for r in parts.to_arrow_refs()]))
     n_pass = pc.sum(merged.column("n_pass")).as_py() or 0
     n_fail = pc.sum(merged.column("n_fail")).as_py() or 0
     total = n_pass + n_fail
@@ -1344,7 +1383,6 @@ def q_validation_pass_rate(sf_dir: str):
 
 def q_partition_metrics(sf_dir: str):
     """Per-partition lineage metrics: extract -> partition -> groupby sums."""
-    import ray
     from ray.data.aggregate import Count, Sum
 
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
@@ -1530,7 +1568,6 @@ def q_boilerplate(sf_dir: str):
 
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs with exact-Jaccard verification."""
-    import ray
 
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         lambda b: dedup.minhash_signatures_batch(b), batch_format="pyarrow"
@@ -1784,7 +1821,6 @@ def q_pdf_extract(sf_dir: str):
     reproduces.  Real-PDF decode (pypdf) is import-guarded in
     stages/layout.py.
     """
-    import ray
 
     from ..stages import layout
 
@@ -1837,7 +1873,6 @@ def q_simhash_neardup(sf_dir: str):
     verification per bucket (near-linear, scale-safe — round-1 verdict #4's
     O(bucket^2) triu verify replaced).  Shuffles move (doc_id, band_key,
     code) rows only — never text."""
-    import ray
     from ray.data.aggregate import Min
 
     sim = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(dedup.simhash_batch, batch_format="pyarrow")
@@ -1936,7 +1971,6 @@ def q_interleaved_media_features(sf_dir: str):
     ONE per-doc groupby, so the shuffle moves two count rows per doc.
     Oracle: span counts are closed-form in the synthesis template.
     """
-    import ray
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")
@@ -2122,7 +2156,6 @@ def q_frame_pipeline(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    import ray
     from ray.data.aggregate import Sum
 
     g = resized.map_batches(partial, batch_format="pyarrow").groupby(
@@ -2151,15 +2184,11 @@ def q_corpus_clean(sf_dir: str):
     text; the final rollup pre-aggregates per block before a <=5-group
     groupby.
     """
-    import ray
     from ray.data.aggregate import Sum
 
     min_tokens = 50
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
 
     n_shards = _coarse_shards()
 
@@ -2220,12 +2249,9 @@ def q_vocab_topk(sf_dir: str):
     rows, not tokens); per-block top-k partials bound the driver merge to
     O(blocks x 50) rows.  Ties broken by word so both engines agree.
     """
-    import ray
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-    )
+    ds = _docs(sf_dir, columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
@@ -2271,12 +2297,9 @@ def q_length_quantiles(sf_dir: str):
     sort, no approximation.  Matches DuckDB ``quantile_disc`` (smallest
     value whose cumulative count reaches ``ceil(q * n)``).
     """
-    import ray
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
-    )
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = pa.table({
@@ -2331,11 +2354,8 @@ def q_redact_digits(sf_dir: str):
     ``count_substring_regex`` — RE2 on both engines, so counts and
     redacted lengths match the SQL oracle exactly); no shuffle.
     """
-    import ray
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -2408,9 +2428,7 @@ def q_sequence_packing(sf_dir: str):
 
     width = _pack_range_width()
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def tokens_shard_range(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id")
@@ -2555,12 +2573,9 @@ def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sampling (data-mixing): per-language keep
     rates applied as a reproducible mod filter — block-local, no shuffle
     until the tiny per-lang count rollup."""
-    import ray
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
 
     def fil(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -2631,11 +2646,8 @@ def q_repetition_score(sf_dir: str):
     count over (doc, word) pairs); no shuffle — the score rides with the
     row for downstream quality filtering.
     """
-    import ray
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         # null text -> "" so list lengths stay int (a null list surfaces as
@@ -2694,7 +2706,10 @@ def q_kmeans_clusters(sf_dir: str):
             names=["cluster", "n_members"],
         )
     sample = pf.read_row_group(0, columns=["embedding"])
-    mat = np.asarray(sample.column("embedding").to_pylist()[:512], dtype=np.float32)
+    # slice BEFORE to_pylist — a row group can hold 10^5+ vectors at scale
+    mat = np.asarray(
+        sample.slice(0, 512).column("embedding").to_pylist(), dtype=np.float32
+    )
     k = 8
     init = mat[np.linspace(0, len(mat) - 1, k).astype(np.int64)]
 
@@ -2717,21 +2732,12 @@ def q_epoch_shuffle(sf_dir: str):
     order-insensitive, so the oracle checks the shuffled multiset is
     exactly the input (no row lost/duplicated by the exchange).
     """
-    import ray
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
     shuffled = ds.random_shuffle(seed=42)
 
     def fil(batch: pa.Table) -> pa.Table:
-        q = pc.divide(batch.column("doc_id"), pa.scalar(10, pa.int64()))
-        keep = pc.equal(
-            pc.subtract(batch.column("doc_id"),
-                        pc.multiply(q, pa.scalar(10, pa.int64()))),
-            pa.scalar(0, pa.int64()),
-        )
-        return batch.filter(keep)
+        return batch.filter(_mod_keep(batch.column("doc_id"), 10))
 
     return shuffled.map_batches(fil, batch_format="pyarrow")
 
@@ -2972,11 +2978,14 @@ ORACLE_SQL = {
     """,
     "text_spans": r"""
         SELECT doc_id,
-               CAST(CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+               -- ws class matches the kernel's JS \s (incl. \x0b/\x0c),
+               -- like the structured_text oracle (review: the narrower
+               -- [ \t\n\r] class encoded different kernel semantics)
+               CAST(CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\x0b\x0c]{2,}', ' ', 'g') = ''
                     THEN 1 ELSE 2 END AS BIGINT) AS n_text_spans,
-               CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g') = ''
+               CASE WHEN regexp_replace(trim(COALESCE(text, ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\x0b\x0c]{2,}', ' ', 'g') = ''
                     THEN 'tail'
-                    ELSE regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13)), '[ \t\n\r]{2,}', ' ', 'g')
+                    ELSE regexp_replace(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '[ \t\n\r\x0b\x0c]{2,}', ' ', 'g')
                END AS first_span
         FROM documents
     """,

@@ -554,6 +554,55 @@ class TestIVF:
         assert recall >= 0.9, (recall, sorted(approx), sorted(exact))
 
 
+class TestAnnDegenerateCorpora:
+    """Review findings: latent IndexError / ArrowInvalid crashes on
+    corpora without the query vector or without any candidate."""
+
+    @staticmethod
+    def _write(tmp_path, ids, dim=8):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(3)
+        t = pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()),
+             pa.array([list(map(float, rng.standard_normal(dim)))
+                       for _ in ids], pa.list_(pa.float32())),
+             pa.array([0] * len(ids), pa.int32())],
+            names=["vec_id", "embedding", "label"],
+        )
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        return str(tmp_path)
+
+    def test_ann_topk_query_vector_only(self, ray_session, tmp_path):
+        """Corpus = only the (excluded) query vector: every candidate
+        block is empty — must return the empty result, not raise on
+        pa.concat_tables([])."""
+        from node_html_parser_ray.pipelines.queries import q_ann_topk
+
+        sf = self._write(tmp_path, [0])
+        out = q_ann_topk(sf)
+        assert out.num_rows == 0
+        assert out.column_names == ["rank", "vec_id"]
+
+    def test_ann_topk_ivf_missing_query_vector(self, ray_session, tmp_path):
+        """Non-empty corpus WITHOUT vec_id=0: the IVF variant must take
+        the same empty-result guard as q_ann_topk, not IndexError."""
+        from node_html_parser_ray.pipelines.queries import q_ann_topk_ivf
+
+        sf = self._write(tmp_path, [1, 2, 3, 4])
+        out = q_ann_topk_ivf(sf)
+        assert out.num_rows == 0
+        assert out.column_names == ["rank", "vec_id"]
+
+    def test_ann_topk_ivf_query_vector_only(self, ray_session, tmp_path):
+        from node_html_parser_ray.pipelines.queries import q_ann_topk_ivf
+
+        sf = self._write(tmp_path, [0])
+        out = q_ann_topk_ivf(sf)
+        assert out.num_rows == 0
+
+
 class TestGiantDocs:
     def test_gmail_through_pipeline(self, ray_session, fixture_html):
         """The 2.1 MB gmail.html fixture streams through the real pipeline
