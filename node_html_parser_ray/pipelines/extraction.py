@@ -52,7 +52,7 @@ def build_extraction_dataset(
 _METRIC_FIELDS = ("n_nodes", "n_fixups", "n_bytes", "n_spans")
 
 
-def _aggregate_shard_metrics(shard_out_dir: str, backend: str = "parquet") -> dict:
+def _aggregate_shard_metrics(shard_out_dir: str) -> dict:
     """Column-pruned, DISTRIBUTED metrics rollup of a written shard.
 
     Per-batch partial sums stream through ``map_batches``; the driver only
@@ -118,8 +118,11 @@ def run_checkpointed(
 
     ran, skipped = [], []
     for shard_id, files in enumerate(shards):
-        if not files:
-            continue
+        # the completeness check runs BEFORE the empty-shard skip: a shard
+        # that committed files which are no longer in the input set maps to
+        # an EMPTY current file list, and skipping it early would silently
+        # keep the removed files' metrics in totals/lineage (round-4
+        # review) — it must hit the same resume-mismatch refusal
         if manifest.is_complete(shard_id):
             committed = manifest.read(shard_id).get("input_files", [])
             if sorted(committed) != sorted(files):
@@ -136,19 +139,13 @@ def run_checkpointed(
                 )
             skipped.append(shard_id)
             continue
+        if not files:
+            continue
         shard_out = os.path.join(out_dir, f"shard={shard_id:06d}")
-        ds = lance_io.read_documents(files)
-        ds = ds.map_batches(
-            make_extract_batch(options),
-            batch_format="pyarrow",
-            batch_size=batch_size,
+        ds = build_extraction_dataset(
+            files, options, batch_size, num_partitions,
+            with_partition_column=partition_output,
         )
-        if partition_output:
-            ds = ds.map_batches(
-                lambda b: add_partition_column(b, num_partitions),
-                batch_format="pyarrow",
-                batch_size=batch_size,
-            )
         # overwrite any partial output from a crashed run (idempotent commit)
         if os.path.isdir(shard_out):
             import shutil
@@ -158,7 +155,7 @@ def run_checkpointed(
             ds, shard_out,
             partition_cols=["partition_id"] if partition_output else None,
         )
-        metrics = _aggregate_shard_metrics(shard_out, backend)
+        metrics = _aggregate_shard_metrics(shard_out)
         manifest.commit(
             shard_id, files, metrics["n_docs"], metrics,
             fragments=lance_io.output_fragments(shard_out, backend),

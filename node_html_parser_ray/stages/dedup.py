@@ -29,6 +29,7 @@ __all__ = [
     "minhash_signatures_batch",
     "lsh_band_rows",
     "bucket_candidate_pairs",
+    "shard_candidate_pairs",
     "simhash_batch",
     "simhash_band_rows",
     "simhash_window_pairs",
@@ -115,8 +116,12 @@ def minhash_signatures_batch(
     """Per-doc MinHash signature (MINHASH_PERMS x int64), fully vectorized.
 
     signature[p] = min over the doc's distinct k-byte shingles of
-    (a_p * h + b_p) mod M, where h is the shingle's exact 40-bit value
-    (k=5 bytes pack losslessly — no shingle hash collisions at all).
+    (a_p * h + b_p) mod M, where h is the shingle's 40-bit value: for
+    k <= 5 the exact packed bytes (lossless — no shingle collisions at
+    all), for k > 5 a multiplicative 64->40-bit mix of the rolling window
+    value (collision odds ~ shingles^2 / 2^41 per doc — round-4 review:
+    the unmixed packing overflowed the doc-index bits and crashed or
+    silently corrupted signatures for any k > 5).
 
     Memory contract: the window-hash temporaries are ~16 B per text byte,
     and callers pass whole Ray blocks — so the batch is processed in
@@ -156,6 +161,11 @@ def _minhash_core(batch: pa.Table, text_column: str, k: int) -> pa.Table:
         H = np.zeros(W, np.uint64)
         for j in range(k):
             H = (H << np.uint64(8)) | buf[j : j + W].astype(np.uint64)
+        if k > 5:
+            # wide shingles spill past 40 bits and would corrupt the
+            # doc_idx<<40 packing below: mix the (truncated) 64-bit window
+            # value down to its top-entropy 40 bits
+            H = (H * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(24)
         w = np.arange(W, dtype=np.int64)
         doc_idx = np.searchsorted(rel, w, side="right") - 1
         valid = w <= rel[doc_idx + 1] - k
@@ -181,7 +191,12 @@ def _minhash_core(batch: pa.Table, text_column: str, k: int) -> pa.Table:
     # fallback: docs shorter than k shingle as one whole-bytes value
     for d in np.nonzero(~has)[0]:
         lo, hi = int(rel[d]), int(rel[d + 1])
-        h = np.uint64(int.from_bytes(data[base + lo : base + hi].tobytes(), "big"))
+        # mask to 64 bits: with k > 9 a shingle-less doc can still be up
+        # to k-1 > 8 bytes long (no-op for k <= 5, where len < k < 6)
+        h = np.uint64(
+            int.from_bytes(data[base + lo : base + hi].tobytes(), "big")
+            & 0xFFFFFFFFFFFFFFFF
+        )
         sigs[d] = (_PERM_A_U * h + _PERM_B_U) % _MERSENNE_U
     sig_col = pa.FixedSizeListArray.from_arrays(
         pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()), MINHASH_PERMS
@@ -263,19 +278,20 @@ def shard_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     docs = group["doc_id"].to_numpy()
     order = np.lexsort((docs, keys))
     keys, docs = keys[order], docs[order]
+    n = len(keys)
+    # run boundaries in ONE diff pass (round-4 review: the per-element
+    # Python while-scan paid a numpy-scalar compare per row in this
+    # map_groups hot path; same idiom as simhash_window_pairs)
+    starts = np.concatenate(([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [n]))
     frames = []
-    i, n = 0, len(keys)
-    while i < n:
-        j = i + 1
-        while j < n and keys[j] == keys[i]:
-            j += 1
+    for i, j in zip(starts, ends):
         if j - i > 1:
             run = docs[i:j]
-            ai, bi = np.triu_indices(len(run), k=1)
+            ai, bi = np.triu_indices(int(j - i), k=1)
             a, b = run[ai], run[bi]
             mask = a != b
             frames.append(pd.DataFrame({"doc_a": a[mask], "doc_b": b[mask]}))
-        i = j
     if not frames:
         return pd.DataFrame(
             {"doc_a": pd.Series(dtype=docs.dtype), "doc_b": pd.Series(dtype=docs.dtype)}

@@ -40,11 +40,30 @@ class ShardManifest:
         out = set()
         for name in os.listdir(self.dir):
             if name.startswith("shard-") and name.endswith(".json"):
-                out.add(int(name[6:-5]))
+                # tolerate foreign files (backups, editor copies): a stray
+                # 'shard-backup.json' must not abort every resume path
+                # (round-4 review)
+                try:
+                    out.add(int(name[6:-5]))
+                except ValueError:
+                    continue
         return out
 
+    def _read_valid(self, shard_id: int) -> Optional[dict]:
+        """Parse a shard record; ``None`` if absent, truncated or not
+        marked complete — a torn commit (crash between rename metadata and
+        data reaching disk) must read as NOT committed so the shard simply
+        re-runs, instead of crashing every subsequent resume (round-4
+        review)."""
+        try:
+            with open(self._path(shard_id)) as f:
+                record = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        return record if record.get("status") == "complete" else None
+
     def is_complete(self, shard_id: int) -> bool:
-        return os.path.exists(self._path(shard_id))
+        return self._read_valid(shard_id) is not None
 
     def commit(
         self,
@@ -75,12 +94,29 @@ class ShardManifest:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(record, f)
+            # fsync BEFORE the rename: os.replace orders metadata, not
+            # data — without it a machine crash can leave a truncated
+            # record that looks committed (round-4 review).  _read_valid
+            # is the second line of defense.
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path(shard_id))
+        dfd = os.open(self.dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def read(self, shard_id: int) -> dict:
         with open(self._path(shard_id)) as f:
             return json.load(f)
 
     def lineage(self) -> list[dict]:
-        """All committed records (the lineage/metrics table)."""
-        return [self.read(s) for s in sorted(self.completed_shards())]
+        """All committed records (the lineage/metrics table); torn or
+        foreign records are excluded (they read as not-committed)."""
+        out = []
+        for s in sorted(self.completed_shards()):
+            record = self._read_valid(s)
+            if record is not None:
+                out.append(record)
+        return out

@@ -120,6 +120,61 @@ class TestCheckpointResume:
         with pytest.raises(ValueError, match="resume mismatch"):
             run_checkpointed(files, out, shard_count=4)
 
+    def test_resume_refuses_removed_input_file(self, ray_session, tmp_path):
+        """Round-4 review: a committed shard whose files were REMOVED from
+        the input set maps to an empty current shard — the empty-shard
+        skip must not bypass the resume-mismatch refusal, or the removed
+        files' metrics silently stay in totals/lineage."""
+        import pytest
+
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = sorted(write_corpus(src, n_docs=60, seed=4, rows_per_file=15))
+        out = str(tmp_path / "out")
+        # committed under shard_count=2; resuming with only files[0::2]
+        # makes shard 1's current assignment EMPTY
+        ShardManifest(out).commit(1, files[1::2], 30, {"n_docs": 30})
+        with pytest.raises(ValueError, match="resume mismatch"):
+            run_checkpointed(files[0::2], out, shard_count=2)
+
+    def test_torn_commit_reads_as_uncommitted(self, ray_session, tmp_path):
+        """Round-4 review: a truncated shard record (crash between rename
+        metadata and data hitting disk) must read as NOT committed so the
+        shard re-runs — not crash every resume with JSONDecodeError."""
+        from node_html_parser_ray.pipelines.extraction import run_checkpointed
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        src = str(tmp_path / "in")
+        files = write_corpus(src, n_docs=40, seed=5, rows_per_file=20)
+        out = str(tmp_path / "out")
+        first = run_checkpointed(files, out, shard_count=2)
+        assert sorted(first["ran"]) == [0, 1]
+        # simulate the torn commit: truncate shard 0's record
+        m = ShardManifest(out)
+        with open(m._path(0), "w") as f:
+            f.write('{"shard_id": 0, "input')
+        assert not m.is_complete(0)
+        assert len(m.lineage()) == 1  # torn record excluded, not fatal
+        second = run_checkpointed(files, out, shard_count=2)
+        assert second["ran"] == [0]  # re-ran the torn shard
+        assert second["skipped"] == [1]
+        assert second["totals"]["n_docs"] == 40
+
+    def test_foreign_manifest_file_tolerated(self, ray_session, tmp_path):
+        """A stray non-numeric shard-*.json (backup, editor copy) must not
+        abort completed_shards()/lineage()."""
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        out = str(tmp_path / "out")
+        m = ShardManifest(out)
+        m.commit(0, ["a.parquet"], 10, {"n_docs": 10})
+        with open(f"{m.dir}/shard-backup.json", "w") as f:
+            f.write("{}")
+        assert m.completed_shards() == {0}
+        assert len(m.lineage()) == 1
+
     def test_cross_backend_resume(self, ray_session, tmp_path, monkeypatch):
         """A manifest committed on the parquet fallback resumes correctly
         after Lance becomes available (mocked lance API): committed parquet
@@ -364,6 +419,41 @@ class TestDedupStages:
                 .column("minhash").to_pylist()
             )
             assert (part == full[lo:lo + hi]).all(), (lo, hi)
+
+    def test_minhash_wide_shingles(self):
+        """Round-4 review: k > 5 overflowed the doc_idx<<40 key packing
+        (OverflowError or silently cross-doc-corrupted signatures).  Wide
+        shingles now mix to 40 bits; duplicate docs must share signatures,
+        distinct docs must not, and chunk-splitting must not change them
+        at any k — including the k-1-byte shingle-less fallback docs."""
+        import numpy as np
+
+        from node_html_parser_ray.stages.dedup import minhash_signatures_batch
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "the quick brown fox jumps over the lazy dog " * 3,
+            "completely different text content here entirely",
+            "ab", "", None, "abcdefghij",  # k-1 edge for k=11
+        ]
+        table = pa.Table.from_arrays(
+            [pa.array([str(i) for i in range(len(texts))], pa.string()),
+             pa.array(texts, pa.large_string())],
+            names=["doc_id", "text"],
+        )
+        for k in (6, 9, 11):
+            sig = np.array(
+                minhash_signatures_batch(table, k=k).column("minhash").to_pylist()
+            )
+            assert (sig[0] == sig[1]).all(), k
+            assert not (sig[0] == sig[2]).all(), k
+            split = np.concatenate([
+                np.array(minhash_signatures_batch(table.slice(0, 3), k=k)
+                         .column("minhash").to_pylist()),
+                np.array(minhash_signatures_batch(table.slice(3), k=k)
+                         .column("minhash").to_pylist()),
+            ])
+            assert (split == sig).all(), k
 
     def test_minhash_lsh_finds_near_dups(self, ray_session):
         import ray
