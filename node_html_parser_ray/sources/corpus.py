@@ -178,7 +178,7 @@ def _make_doc(rng: random.Random, doc_id: str, giant: bool) -> dict:
     spans: list[dict] = []
     offset = 0
     media_k = 0
-    target_html = max(n_html, 1)
+    target_html = n_html  # rng.randint(1, 6)+... is always >= 1
     emitted_html = 0
     # giant docs repeat fragments until they cross the size threshold
     size_target = rng.randint(200_000, 600_000) if giant else 0

@@ -65,8 +65,17 @@ def read_documents(
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    if HAS_LANCE and is_lance_dataset(path):
-        return ray.data.read_lance(path, columns=columns, **kwargs)
+    if is_lance_dataset(path):
+        if HAS_LANCE:
+            return ray.data.read_lance(path, columns=columns, **kwargs)
+        # round-4 review: silently falling through scanned the .lance data
+        # files as parquet and died with a cryptic Arrow error — name the
+        # actual problem instead
+        raise RuntimeError(
+            f"{path} is a Lance dataset (_versions/ manifest present) but "
+            "the lance wheel is not installed; install pylance or provide "
+            "parquet input"
+        )
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

@@ -158,7 +158,7 @@ def synthesize_fake_pdf(text: str) -> bytes:
     ]
     for page, x0, y0, x1, y1, btext in records:
         payload = btext.encode("utf-8", "surrogatepass")
-        out.append(struct.pack("<Hffff I", page, x0, y0, x1, y1, len(payload)))
+        out.append(struct.pack("<Iffff I", page, x0, y0, x1, y1, len(payload)))
         out.append(payload)
     return b"".join(out)
 
@@ -171,8 +171,11 @@ def decode_fake_pdf(data: bytes) -> dict:
     off = 20
     pages, boxes, texts = [], [], []
     for _ in range(n_blocks):
-        page, x0, y0, x1, y1, tlen = struct.unpack_from("<Hffff I", data, off)
-        off += struct.calcsize("<Hffff I")
+        # page is uint32 like the n_pages header (round-4 review: the old
+        # uint16 block field overflowed past 65535 pages while the header
+        # advertised a uint32 range)
+        page, x0, y0, x1, y1, tlen = struct.unpack_from("<Iffff I", data, off)
+        off += struct.calcsize("<Iffff I")
         texts.append(data[off : off + tlen].decode("utf-8", "surrogatepass"))
         off += tlen
         pages.append(page)
@@ -204,8 +207,12 @@ def _decode_real_pdf(data: bytes) -> dict:  # pragma: no cover - needs pypdf
         texts.append(page.extract_text() or "")
         pages.append(pno)
         box = page.mediabox
-        boxes.append((float(box.left), float(box.top), float(box.right),
-                      float(box.bottom)))
+        # xy_cut_order's contract is y-grows-DOWNWARD with y0 < y1; PDF
+        # mediabox is y-up (top > bottom), so negate to flip the axis
+        # (round-4 review: raw top/bottom inverted vertical order the
+        # moment a page yields more than one block)
+        boxes.append((float(box.left), -float(box.top), float(box.right),
+                      -float(box.bottom)))
     joined = "".join(texts).encode("utf-8", "surrogatepass")
     return {
         "n_pages": len(reader.pages),
@@ -242,7 +249,18 @@ class PdfExtractStage:
         order_ok_col: list[bool] = []
         total = 0
         for data in payloads:
-            doc = self._decode(data)
+            try:
+                # null-tolerant like every other binary-column stage: a
+                # null or undecodable payload yields the degenerate row
+                # (0 pages/blocks, order_ok=False), never a dead Ray task
+                doc = self._decode(data or b"")
+            except (ValueError, struct.error, IndexError):
+                offsets.append(total)
+                n_pages_col.append(0)
+                n_blocks_col.append(0)
+                n_chars_col.append(0)
+                order_ok_col.append(False)
+                continue
             parts: list[str] = []
             for page in range(doc["n_pages"]):
                 on_page = np.nonzero(doc["pages"] == page)[0]

@@ -46,6 +46,8 @@ __all__ = [
     "MediaDecodeStage",
     "AudioFeatureStage",
     "AUDIO_FEATURES_SCHEMA",
+    "audio_features_schema",
+    "media_features_schema",
     "ImageResizeStage",
     "FrameSampleStage",
     "MEDIA_FEATURES_SCHEMA",
@@ -54,16 +56,23 @@ __all__ = [
     "fake_payload_batch",
 ]
 
-MEDIA_FEATURES_SCHEMA = pa.schema(
-    [
-        ("media_ref", pa.string()),
-        ("kind", pa.string()),
-        ("width", pa.int32()),
-        ("height", pa.int32()),
-        ("n_bytes", pa.int64()),
-        ("features", pa.list_(pa.float32(), 16)),
-    ]
-)
+def media_features_schema(feature_dim: int = 16) -> pa.Schema:
+    """Output schema of MediaDecodeStage for a given feature width
+    (round-4 review: the fixed 16-wide constant crashed any stage
+    constructed with a non-default feature_dim)."""
+    return pa.schema(
+        [
+            ("media_ref", pa.string()),
+            ("kind", pa.string()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("n_bytes", pa.int64()),
+            ("features", pa.list_(pa.float32(), feature_dim)),
+        ]
+    )
+
+
+MEDIA_FEATURES_SCHEMA = media_features_schema()
 
 
 def fake_payload_batch(batch: pa.Table) -> pa.Table:
@@ -118,20 +127,39 @@ class ImageResizeStage:
         self.width = width
         self.height = height
         self.payload_column = payload_column
+        self._pil = None
         if real_decode:
-            raise NotImplementedError(
-                "real resize requires PIL, not present in this container"
-            )
+            # probe the import like MediaDecodeStage (round-4 review: the
+            # unconditional refusal contradicted the module contract —
+            # real_decode=True must use the lib wherever the wheel exists)
+            try:
+                import PIL.Image
+
+                self._pil = PIL.Image
+            except Exception as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "real resize requires PIL, not present in this "
+                    "container; use the deterministic fake"
+                ) from e
 
     def _resize_fake(self, payload: bytes) -> bytes:
         seed = zlib.crc32(payload)
         n = max(16, (self.width * self.height) // 512)
         return _fake_bytes(seed, n)
 
+    def _resize_real(self, payload: bytes) -> bytes:  # pragma: no cover
+        import io
+
+        img = self._pil.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((self.width, self.height)).save(out, format="PNG")
+        return out.getvalue()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         payloads = batch.column(self.payload_column).to_pylist()
-        out = [self._resize_fake(p or b"") for p in payloads]
+        resize = self._resize_real if self._pil is not None else self._resize_fake
+        out = [resize(p or b"") for p in payloads]
         n = len(refs)
         return pa.Table.from_arrays(
             [
@@ -158,6 +186,10 @@ class FrameSampleStage:
 
     def __init__(self, n_frames: int = 4, duration_ms: int = 10_000,
                  real_decode: bool = False) -> None:
+        if n_frames < 1:
+            # round-4 review: n_frames=0 raised ZeroDivisionError on the
+            # first non-empty payload, mid-job — fail at construction
+            raise ValueError(f"n_frames must be >= 1, got {n_frames}")
         self.n_frames = n_frames
         self.duration_ms = duration_ms
         if real_decode:
@@ -196,15 +228,20 @@ class FrameSampleStage:
         )
 
 
-AUDIO_FEATURES_SCHEMA = pa.schema(
-    [
-        ("media_ref", pa.string()),
-        ("duration_ms", pa.int64()),
-        ("sample_rate", pa.int32()),
-        ("n_windows", pa.int32()),
-        ("features", pa.list_(pa.float32(), 16)),
-    ]
-)
+def audio_features_schema(feature_dim: int = 16) -> pa.Schema:
+    """Output schema of AudioFeatureStage for a given feature width."""
+    return pa.schema(
+        [
+            ("media_ref", pa.string()),
+            ("duration_ms", pa.int64()),
+            ("sample_rate", pa.int32()),
+            ("n_windows", pa.int32()),
+            ("features", pa.list_(pa.float32(), feature_dim)),
+        ]
+    )
+
+
+AUDIO_FEATURES_SCHEMA = audio_features_schema()
 
 
 class AudioFeatureStage:
@@ -226,13 +263,18 @@ class AudioFeatureStage:
                  window_ms: int = 250) -> None:
         self.feature_dim = feature_dim
         self.window_ms = window_ms
+        self.schema = audio_features_schema(feature_dim)
         self._sf = None
         if real_decode:
             try:
                 import soundfile  # type: ignore
 
                 self._sf = soundfile
-            except ImportError as e:  # pragma: no cover
+            # Exception, not ImportError: the standard soundfile failure
+            # mode is an OSError from a missing libsndfile shared library
+            # (round-4 review) — that must also surface as the clean
+            # NotImplementedError, not an unexplained actor crash
+            except Exception as e:  # pragma: no cover
                 raise NotImplementedError(
                     "real audio decode requires soundfile/ffmpeg, not "
                     "present in this container; use the deterministic fake"
@@ -283,7 +325,7 @@ class AudioFeatureStage:
                 pa.array(wins, pa.int32()),
                 features_col,
             ],
-            schema=AUDIO_FEATURES_SCHEMA,
+            schema=self.schema,
         )
 
 
@@ -296,6 +338,7 @@ class MediaDecodeStage:
 
     def __init__(self, real_decode: bool = False, feature_dim: int = 16) -> None:
         self.feature_dim = feature_dim
+        self.schema = media_features_schema(feature_dim)
         self.decoder = None
         self._pil = None
         if real_decode:
@@ -304,7 +347,9 @@ class MediaDecodeStage:
 
                 self._pil = PIL.Image  # module cached once per actor
                 self.decoder = "pil"
-            except ImportError as e:  # pragma: no cover
+            # Exception, not ImportError: a broken native dependency must
+            # also surface as the clean NotImplementedError (round-4 review)
+            except Exception as e:  # pragma: no cover
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg, not present in "
                     "this container; use the deterministic fake decoder"
@@ -366,5 +411,5 @@ class MediaDecodeStage:
                 pa.array(n_bytes, pa.int64()),
                 features_col,
             ],
-            schema=MEDIA_FEATURES_SCHEMA,
+            schema=self.schema,
         )

@@ -94,13 +94,13 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     )
     langs = list(_LANG_PROFILES.keys())
     best = scores.argmax(axis=0)
-    hit = scores.max(axis=0) > 0
-    pred = [langs[b] if h else "und" for b, h in zip(best, hit)]
+    top = scores.max(axis=0)
+    pred = [langs[b] if h else "und" for b, h in zip(best, top > 0)]
     return pa.Table.from_arrays(
         [
             batch.column("doc_id"),
             pa.array(pred, pa.string()),
-            pa.array(scores.max(axis=0), pa.int64()),
+            pa.array(top, pa.int64()),
         ],
         names=["doc_id", "pred_lang", "lang_score"],
     )

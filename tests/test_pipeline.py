@@ -488,6 +488,54 @@ class TestDedupStages:
 
 
 class TestMultimodal:
+    def test_custom_feature_dim(self):
+        """Round-4 review: a non-default feature_dim crashed on the first
+        batch against the fixed 16-wide schema constants; the stages now
+        build their instance schema from feature_dim."""
+        from node_html_parser_ray.stages.multimodal import (
+            AudioFeatureStage,
+            MediaDecodeStage,
+            fake_payload_batch,
+        )
+
+        batch = fake_payload_batch(pa.Table.from_arrays(
+            [pa.array(["m://a", "m://b"], pa.string()),
+             pa.array(["image", "image"], pa.string())],
+            names=["media_ref", "kind"],
+        ))
+        out = MediaDecodeStage(feature_dim=8)(batch)
+        assert len(out.column("features")[0].as_py()) == 8
+        audio = batch.select(["media_ref", "payload"])
+        out2 = AudioFeatureStage(feature_dim=4)(audio)
+        assert len(out2.column("features")[0].as_py()) == 4
+
+    def test_frame_stage_rejects_nonpositive_n_frames(self):
+        import pytest
+
+        from node_html_parser_ray.stages.multimodal import FrameSampleStage
+
+        with pytest.raises(ValueError, match="n_frames"):
+            FrameSampleStage(n_frames=0)
+
+    def test_pdf_stage_null_and_garbage_payloads(self):
+        """Round-4 review: a null or undecodable pdf cell must yield the
+        degenerate row, not kill the Ray task."""
+        from node_html_parser_ray.stages.layout import (
+            PdfExtractStage,
+            synthesize_fake_pdf,
+        )
+
+        pdfs = pa.Table.from_pylist([
+            {"doc_id": "ok", "pdf": synthesize_fake_pdf("hello world text")},
+            {"doc_id": "null", "pdf": None},
+            {"doc_id": "garbage", "pdf": b"not a container"},
+        ])
+        rows = {r["doc_id"]: r for r in PdfExtractStage()(pdfs).to_pylist()}
+        assert rows["ok"]["order_ok"] and rows["ok"]["n_blocks"] > 0
+        assert rows["null"]["n_blocks"] == 0 and not rows["null"]["order_ok"]
+        assert rows["garbage"]["n_blocks"] == 0
+        assert rows["null"]["spans"] == []
+
     def test_decode_stage_plumbing(self, ray_session):
         import ray
 
