@@ -131,8 +131,21 @@ PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe
 #     actually sees, and the trailing '>' cannot start a new tag-open, so
 #     the text AFTER a benign stripped region never fuses into a phantom
 #     '<letter' run (which a bare '<' sentinel would create).
+#   * QUOTE-AWARE open-tag attrs (round-4 fuzz find, seed 9,000,980): the
+#     old `[^>]*` crossed an unquoted '<' (e.g. `<pre style..."_u1<>`), so
+#     the strip removed a region the tokenizer actually scans — the
+#     tag-open attempt FAILS at that '<' (that is the blowup itself), so
+#     no raw-text jump ever happens there.  KMARKUP can only cross
+#     brackets inside '='-anchored quoted values, so the strip's attr
+#     grammar mirrors exactly that (same '='-anchored units as shape 3);
+#     an unquoted bracket now stops the strip and the pathology stays
+#     visible.  Errors in the other direction (a quote KMARKUP's junk
+#     branch would eat, stopping our strip early) only over-flag — the
+#     sidecar returns bit-identical results for FPs.
 _RAW_TEXT_STRIP = re.compile(
-    r"(?s)<(script|style|pre|noscript)\b[^>]*>[\s\S]*?</\1>|<!--[\s\S]*?-->"
+    r"(?s)<(script|style|pre|noscript)\b"
+    r"(?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ + r"*'[^']*')*"
+    r">[\s\S]*?</\1>|<!--[\s\S]*?-->"
 )
 
 

@@ -59,6 +59,14 @@ class TestPrescan:
             # prescan.
             "<SCRIPT><a " + "a" * 16 + "</SCRIPT>",
             "<PRE>a<b " + "q" * 20 + "</PRE>",
+            # round-4 fuzz find (seed 9,000,980, 548-char doc parsed ~20 s
+            # unflagged): the strip's old [^>]* attrs crossed an UNQUOTED
+            # '<', removing a region the tokenizer actually scans — the
+            # tag-open attempt dies at that '<' so no raw-text jump ever
+            # happens.  The strip's attr grammar now mirrors KMARKUP
+            # (brackets only inside '='-anchored quotes).
+            '<pre style&#5;e"_u1<></pre><p ',
+            "<pre style=\"un&#65;e\" _u=1<2 a='un></pre>",
         ):
             assert is_pathological(s), s
 
@@ -84,6 +92,13 @@ class TestPrescan:
             # true lowercase raw-text body stays skipped
             "<script><a " + "a" * 30 + "</script>ok",
             "<pre>a<b " + "q" * 30 + "</pre>",
+            # quote-aware strip: '='-anchored quoted values may cross
+            # brackets in a REAL raw-text open tag (KMARKUP's own quoted
+            # branch does), so these must still strip and stay unflagged
+            '<pre class="a<b">' + "x<y " * 10 + "</pre>",
+            "<pre class='a>b'>" + "x<y " * 10 + "</pre>",
+            '<script src=a data-9=\'&notit;\' id="x">' + "if(a<b)" * 8
+            + "</script>",
         ):
             assert not is_pathological(s), s
 
