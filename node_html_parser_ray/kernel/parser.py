@@ -80,6 +80,21 @@ KMARKUP = re.compile(
 #      unterminated quote.  Shape 1/2 alone missed e.g.
 #      '<a q="" w="1<2" ' + 'e'*n (pre-bracket run under 12 chars, first
 #      quoted value bracket-free): measured 1.4 s at n=12, ~3x per +2.
+#   4. (round-4 fuzz find, seed 9,039,100) an '='-anchored quoted value
+#      containing '<' (closing quote optional) followed by a >=8-char
+#      quote-free bracket-free run.  Measured matrix: '<' in the value is
+#      load-bearing ('>'-only values are linear); attr spacing is NOT
+#      (slow with or without spaces around the name/quote); a run ending
+#      directly in '>' is fast but '/V>'/EOF/'<' tails blow up (~3x per
+#      +2 run chars, 0.7 s at run 12), so the shape over-approximates by
+#      ignoring the tail — the run class EXCLUDES quotes because a
+#      following '="..."' pair re-synchronizes the engine (real pages
+#      like nice.html carry comment-URL src values whose tails are
+#      quote-bounded at <8 chars and parse linearly).  This shape fires
+#      even when the tag ultimately MATCHES, falsifying the failing-tail
+#      premise above: the greedy engine explores exponentially many
+#      junk/quoted re-splits of the bracket-bearing value against the
+#      following run before finding the successful path.
 # False positives are handled by parsing in a subprocess with the SAME
 # kernel (bit-identical output, just fork latency); false negatives keep
 # the reference's own behavior.  The source is RE2-compatible so the
@@ -96,13 +111,20 @@ KMARKUP = re.compile(
 # effectively deterministic: at a '=' the single-char branch is tried
 # first and dies on the unconsumable quote one step later, so give-back
 # is O(1) per '=' plus the (linear) repetition count.
+_SHAPE4_SRC = (
+    r"<[a-zA-Z](?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ
+    + r"*'[^']*')*=" + _WSQ
+    + r"*(?:\"[^\"]*<[^\"]*\"|'[^']*<[^']*')[^<>\"']{8,}"
+)
 _PATHOLOGICAL_SRC = (
     r"<[a-zA-Z](?:[^<>]{11,}(?:<|$)"
     r"|[^<>\"']*[\"'][^\"']*[<>][^\"']*[\"'][^<>]*(?:<|$)"
     r"|(?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ + r"*'[^']*'){11,}"
     r"(?:=" + _WSQ + r"*\"[^\"]*|=" + _WSQ + r"*'[^']*)?(?:<|$))"
+    r"|" + _SHAPE4_SRC
 )
 PATHOLOGICAL = re.compile(_PATHOLOGICAL_SRC)
+_SHAPE4 = re.compile(_SHAPE4_SRC)
 PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe
 
 # Stage-2 refinement: kMarkupPattern never scans INSIDE raw-text element
@@ -157,7 +179,19 @@ def is_pathological(html: str) -> bool:
     over a copy with raw-text bodies and comments replaced by a '<>'
     sentinel (the tokenizer never backtracks inside those regions, but
     their leading '<' still terminates a failing run that started before
-    them — see _RAW_TEXT_STRIP's comment)."""
+    them — see _RAW_TEXT_STRIP's comment).
+
+    Shape 4 on the RAW string BYPASSES the stage-2 refinement (round-4
+    fuzz find, seed 9,039,100): its quote+bracket+run evidence can SPAN a
+    raw-text region's start — the body of a `<pre>` is scanned by a
+    PRECEDING failing tag attempt before the `<pre>` open ever matches,
+    so the cost is real even though the strip (correctly, for shapes 1-3)
+    removes the body.  Cost of the bypass: documents whose only shape-4
+    site sits inside a well-formed script body (e.g. HTML-template JS
+    strings '=\"<div ...>\"' + an 8-char run) over-flag — they parse
+    bit-identically in the sidecar."""
+    if _SHAPE4.search(html) is not None:
+        return True
     if PATHOLOGICAL.search(html) is None:
         return False
     return PATHOLOGICAL.search(_RAW_TEXT_STRIP.sub("<>", html)) is not None

@@ -67,6 +67,21 @@ class TestPrescan:
             # (brackets only inside '='-anchored quotes).
             '<pre style&#5;e"_u1<></pre><p ',
             "<pre style=\"un&#65;e\" _u=1<2 a='un></pre>",
+            # round-4 fuzz find #2 (seed 9,039,100): shape 4 — an
+            # '='-anchored quoted value containing '<' followed by a
+            # >=8-char quote-free run blows up EVEN WHEN the tag
+            # ultimately matches ('<' in the value is load-bearing;
+            # spacing is not; measured ~3x per +2 run chars).  Fires on
+            # the RAW doc, bypassing the stage-2 strip: the quoted
+            # "<pre>" can double as a real raw-text open whose body the
+            # PRECEDING failing tag attempt still scans.
+            '<Phref="<pre>"datanknown/V>',
+            '<P href="<pre>"datanknown/V>',
+            "<Pdata-k='<x>'datanknown/V>",
+            # prefix crosses earlier complete quoted attrs (shape-3-style
+            # units), as in the original fuzz document
+            '<P href="/x?y=1&z=2" a=\'un /><pre>tail</ul>'
+            "<div lang='un&#65;e'>",
         ):
             assert is_pathological(s), s
 
