@@ -193,8 +193,20 @@ class RedosSidecar:
             except Exception:
                 self._close()
                 if self._spawn_ok:
-                    return None
-                return _resolve(module, func)(*args)
+                    # One respawn+resend before giving up (round-4 ADVICE):
+                    # a sidecar that died between the is_alive() check and
+                    # send (e.g. OOM-killed between requests) would
+                    # otherwise drop this doc even though a fresh child
+                    # can process it.  A second failure is real resource
+                    # pressure — bounded drop.
+                    try:
+                        self._ensure()
+                        self._conn.send((module, func, args))
+                    except Exception:
+                        self._close()
+                        return None
+                else:
+                    return _resolve(module, func)(*args)
             if self._conn.poll(timeout):
                 try:
                     status, payload = self._conn.recv()

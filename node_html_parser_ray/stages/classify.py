@@ -142,8 +142,11 @@ class BoilerplateClassifier:
         doc_ids = batch.column("doc_id").to_pylist()
         htmls = htmls_from_batch(batch)
         # bounded ReDoS lane (shared with extract_batch): flagged docs parse
-        # in the spawn sidecar; a timeout yields the empty classification
-        # ("", 0, 0 — same shape as an empty document), never a worker hang
+        # in the spawn sidecar; a timeout yields the bounded-out sentinel
+        # ("", -1, 0) — n_content_blocks=-1 marks the drop out-of-band so
+        # lineage can count dropped docs (consistent with the selector
+        # lane's n_matches=-1 and the extract lane's valid=False; round-4
+        # ADVICE), never a worker hang
         timeout = parse_timeout()
         flagged = prescan_flags(htmls, timeout)
         out_text: list[str] = []
@@ -159,7 +162,7 @@ class BoilerplateClassifier:
                      self.max_link_density),
                     timeout,
                 )
-                main_text, n_content, n_boiler = res or ("", 0, 0)
+                main_text, n_content, n_boiler = res or ("", -1, 0)
             else:
                 root = parse(html, self.options)
                 main_text, n_content, n_boiler = self._classify_doc(root)
@@ -167,7 +170,7 @@ class BoilerplateClassifier:
             out_nc.append(n_content)
             out_nb.append(n_boiler)
             total = n_content + n_boiler
-            out_ratio.append(n_content / total if total else 0.0)
+            out_ratio.append(n_content / total if total > 0 else 0.0)
         return pa.Table.from_arrays(
             [
                 pa.array(doc_ids, pa.string()),

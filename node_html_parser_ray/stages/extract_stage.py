@@ -259,6 +259,12 @@ def extract_batch(batch: pa.Table, options: Optional[dict] = None) -> pa.Table:
 
     for r in range(len(doc_ids)):
         html, media_map = htmls[r], media_maps[r]
+        # release the assembled string as soon as this row consumes it:
+        # peak heap stays ~1x the batch's html bytes after the (transient)
+        # prescan Arrow copy is freed, instead of holding every assembled
+        # doc through the whole loop (round-4 ADVICE memory note; the
+        # multiplier is documented next to DEFAULT_BATCH_SIZE)
+        htmls[r] = media_maps[r] = None
         if flagged is not None and flagged[r]:
             # bounded ReDoS lane: same kernel, spawn sidecar, hard wall bound
             res = _bounded_extract(html, media_map, options, timeout)

@@ -60,7 +60,18 @@ class ShardManifest:
                 record = json.load(f)
         except (OSError, json.JSONDecodeError):
             return None
-        return record if record.get("status") == "complete" else None
+        if record.get("status") == "complete":
+            return record
+        # Legacy records (written before the status field existed) carry
+        # input_files + row_count but no status; they were committed via
+        # the same atomic rename, so treat them as complete rather than
+        # silently re-running every previously committed shard on upgrade
+        # (round-4 ADVICE).  A torn/partial record parses as JSON only if
+        # the whole object made it to disk, so this cannot resurrect one.
+        if "status" not in record and "input_files" in record \
+                and "row_count" in record:
+            return record
+        return None
 
     def is_complete(self, shard_id: int) -> bool:
         return self._read_valid(shard_id) is not None

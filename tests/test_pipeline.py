@@ -162,6 +162,35 @@ class TestCheckpointResume:
         assert second["skipped"] == [1]
         assert second["totals"]["n_docs"] == 40
 
+    def test_legacy_record_without_status_reads_as_complete(self, tmp_path):
+        """Round-5 ADVICE fix: records committed before the status field
+        existed (atomic rename, full JSON, input_files + row_count present)
+        must still read as complete on upgrade — not silently re-run every
+        previously committed shard."""
+        import json
+
+        from node_html_parser_ray.state.manifest import ShardManifest
+
+        m = ShardManifest(str(tmp_path / "out"))
+        legacy = {
+            "shard_id": 0,
+            "input_files": ["a.parquet"],
+            "row_count": 10,
+            "metrics": {"n_docs": 10},
+            "fragments": [],
+            "backend": "parquet",
+            "committed_at": 1.0,
+        }
+        with open(m._path(0), "w") as f:
+            json.dump(legacy, f)
+        assert m.is_complete(0)
+        assert len(m.lineage()) == 1
+        # but an explicit non-complete status is still rejected
+        legacy["status"] = "in_progress"
+        with open(m._path(1), "w") as f:
+            json.dump({**legacy, "shard_id": 1}, f)
+        assert not m.is_complete(1)
+
     def test_foreign_manifest_file_tolerated(self, ray_session, tmp_path):
         """A stray non-numeric shard-*.json (backup, editor copy) must not
         abort completed_shards()/lineage()."""

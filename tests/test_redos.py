@@ -270,6 +270,42 @@ class TestBoundedLane:
         finally:
             sc._close()
 
+    def test_sidecar_one_transient_failure_respawns(self):
+        """Round-5 ADVICE fix: a sidecar that died between the is_alive()
+        check and send gets ONE close+respawn+resend — a single transient
+        failure must not drop the doc; only a second consecutive failure
+        is a bounded drop."""
+        from node_html_parser_ray.kernel.redos_lane import (
+            RedosSidecar,
+            kernel_extract,
+        )
+
+        sc = RedosSidecar()
+        try:
+            html = "<p>hello respawn</p>"
+            assert sc.extract(html, None, None, 30.0) == kernel_extract(
+                html, None, None
+            )
+            assert sc._spawn_ok
+            # first _ensure/send attempt fails (child OOM-killed between
+            # requests), the retry goes through the real spawn path
+            real_ensure = sc._ensure
+            calls = {"n": 0}
+
+            def flaky_ensure():
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise OSError("child died between requests")
+                real_ensure()
+
+            sc._ensure = flaky_ensure
+            assert sc.extract(html, None, None, 30.0) == kernel_extract(
+                html, None, None
+            )
+            assert calls["n"] == 2
+        finally:
+            sc._close()
+
     def test_sidecar_never_spawned_falls_back_in_process(self, monkeypatch):
         """Platform-without-spawn fallback: if no spawn EVER succeeded,
         benign prescan FPs must still parse (in-process, unbounded —
@@ -359,10 +395,13 @@ class TestBoundedSelectorClassifier:
         assert time.time() - t0 < 30.0
         res = {r["doc_id"]: r for r in out.to_pylist()}
         assert res["good-1"]["n_content_blocks"] == 1
-        # bounded-out doc classifies like an empty document
+        # bounded-out doc carries the out-of-band drop sentinel
+        # (n_content_blocks=-1, consistent with the selector lane's
+        # n_matches=-1) so lineage can count dropped docs
         assert res["bad-1"]["main_text"] == ""
-        assert res["bad-1"]["n_content_blocks"] == 0
+        assert res["bad-1"]["n_content_blocks"] == -1
         assert res["bad-1"]["n_boilerplate_blocks"] == 0
+        assert res["bad-1"]["content_ratio"] == 0.0
 
     def test_explode_nodes_bounds_adversarial(self, monkeypatch):
         """The standalone columnar node-explode path (review finding: the
