@@ -3276,6 +3276,98 @@ ORACLE_SQL["minhash_neardup_verified"] = """
 """
 
 
+# simhash_neardup oracle (round-4 verdict #2, ○→●): at driver scale
+# (sf0.01, 500 docs) DuckDB computes the 64-bit SimHash code of every doc
+# from scratch and brute-forces ALL-PAIRS Hamming <= 3 — which equals the
+# banded pipeline's output EXACTLY (not just with high probability): the
+# 4x16-bit band scheme guarantees any pair within Hamming 3 shares an
+# untouched 16-bit chunk (pigeonhole), and the sorted sliding-window
+# verifier is exhaustive whenever buckets are smaller than its window (64;
+# the largest band bucket at sf0.01 is far below that).
+# tests/test_pipeline.py::test_simhash_neardup_equals_brute_force pins the
+# pipeline's pair set AND per-pair hamming against this same brute-force
+# definition.  The code computation mirrors stages/dedup.py:
+#   * tokens = Python str.split() — the sf0.01 corpus is ASCII with ' ' as
+#     its only whitespace (asserted by the recall-pin test), so
+#     string_split(text, ' ') + drop-empties is identical;
+#   * per-token 64-bit hash = (crc32(tok) << 32) | crc32(reversed tok),
+#     crc32 via the standard 0xEDB88320 table (inlined as VALUES) and a
+#     recursive CTE over byte positions (ASCII: unicode(char) = utf-8 byte);
+#   * per-bit vote sum > 0 sets bit i of the code (the numpy packbits +
+#     little-endian int64 view in simhash_batch reduces to exactly this —
+#     the _SIMHASH_SHIFTS permutation cancels against the byte packing);
+#   * tokenless docs get code 0 (the LEFT JOIN COALESCE), like np.zeros.
+# Verified bit-exact against dedup.simhash_batch over all 500 sf0.01 docs.
+_CRC_TAB_SQL = ", ".join(
+    f"({i}, {int(v)})" for i, v in enumerate(dedup._CRC_TABLE)
+)
+ORACLE_SQL["simhash_neardup"] = f"""
+    WITH RECURSIVE
+    crc_tab(ti, tv) AS (SELECT * FROM (VALUES {_CRC_TAB_SQL}) v(ti, tv)),
+    docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text, '') AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, length(string_split(text, ' ')) + 1)) AS pos
+      FROM docs
+    ),
+    tk AS (SELECT doc_id, pos, tok, length(tok) AS n FROM toks WHERE tok <> ''),
+    fwd(doc_id, pos, n, tok, i, c) AS (
+      SELECT doc_id, pos, n, tok, 1, CAST(4294967295 AS BIGINT) FROM tk
+      UNION ALL
+      SELECT f.doc_id, f.pos, f.n, f.tok, f.i + 1, xor(t.tv, c >> 8)
+      FROM fwd f JOIN crc_tab t
+        ON t.ti = (xor(c, unicode(substr(f.tok, CAST(f.i AS INT), 1))) & 255)
+      WHERE f.i <= f.n
+    ),
+    rev(doc_id, pos, n, tok, i, c) AS (
+      SELECT doc_id, pos, n, tok, 1, CAST(4294967295 AS BIGINT) FROM tk
+      UNION ALL
+      SELECT r.doc_id, r.pos, r.n, r.tok, r.i + 1, xor(t.tv, c >> 8)
+      FROM rev r JOIN crc_tab t
+        ON t.ti = (xor(c, unicode(substr(r.tok, CAST(r.n - r.i + 1 AS INT), 1)))
+                   & 255)
+      WHERE r.i <= r.n
+    ),
+    fdone AS (SELECT doc_id, pos, xor(c, 4294967295) AS fc
+              FROM fwd WHERE i = n + 1),
+    rdone AS (SELECT doc_id, pos, xor(c, 4294967295) AS rc
+              FROM rev WHERE i = n + 1),
+    h AS (
+      SELECT f.doc_id,
+             CAST(f.fc AS HUGEINT) * 4294967296 + CAST(r.rc AS HUGEINT) AS hv
+      FROM fdone f JOIN rdone r ON f.doc_id = r.doc_id AND f.pos = r.pos
+    ),
+    bits AS (SELECT doc_id, unnest(range(0, 64)) AS bi, hv FROM h),
+    votes AS (
+      SELECT doc_id, bi,
+             SUM(CASE WHEN (hv >> CAST(bi AS INT)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY doc_id, bi
+    ),
+    codes_u AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(bi AS INT)
+                      ELSE 0 END) AS cu
+      FROM votes GROUP BY doc_id
+    ),
+    codes AS (
+      SELECT d.doc_id,
+             CAST(CASE WHEN cu >= CAST(9223372036854775808 AS HUGEINT)
+                       THEN cu - CAST(18446744073709551616 AS HUGEINT)
+                       ELSE COALESCE(cu, 0) END AS BIGINT) AS code
+      FROM docs d LEFT JOIN codes_u c ON d.doc_id = c.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
+    FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.code, b.code)) <= 3
+"""
+
+
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):
     """Flagship pipeline for the driver smoke check: interleaved extraction."""
     ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(_interleaved_batch, batch_format="pyarrow")

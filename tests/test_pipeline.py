@@ -1203,6 +1203,45 @@ class TestNearDupEndToEndExactness:
             # bit-exact: both sides divide the same int64 counts
             assert got[k] == want[k]
 
+    def test_simhash_neardup_equals_brute_force(self, ray_session):
+        """The banded simhash pipeline equals brute-force all-pairs
+        Hamming <= 3 over the same codes — the premise that makes
+        ORACLE_SQL['simhash_neardup'] (all-pairs DuckDB over SQL-recomputed
+        codes) a sound oracle.  Exact, not probabilistic: the 4x16-bit
+        band scheme cannot miss a pair within Hamming 3 (pigeonhole) and
+        the sliding-window verify is exhaustive below window=64.  Also
+        pins the oracle's tokenizer premise: the corpus is ASCII with ' '
+        as its only whitespace, so SQL string_split(text, ' ') is
+        identical to Python str.split()."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.queries import q_simhash_neardup
+        from node_html_parser_ray.stages.dedup import popcount64, simhash_batch
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+        for x in t.column("text").to_pylist():
+            assert x is None or (
+                x.isascii() and not any(c.isspace() and c != " " for c in x)
+            )
+        ct = simhash_batch(t)
+        ids = ct.column("doc_id").to_numpy()
+        codes = (
+            ct.column("simhash").to_numpy().astype(np.int64).astype(np.uint64)
+        )
+        ham = popcount64(codes[:, None] ^ codes[None, :])
+        ai, bi = np.nonzero(np.triu(ham <= 3, k=1))
+        want = sorted(
+            (min(ids[a], ids[b]), max(ids[a], ids[b]), int(ham[a, b]))
+            for a, b in zip(ai, bi)
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in q_simhash_neardup(sf).take_all()
+        )
+        assert got == want
+
 
 class TestDistributedKMeans:
     def test_block_split_invariance_and_coverage(self, ray_session):
