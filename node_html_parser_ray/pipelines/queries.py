@@ -1909,7 +1909,26 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding near-dup via hyperplane LSH buckets (rows-only).
+    """Embedding near-dup: banded (multi-table) hyperplane LSH -> in-bucket
+    exact-cosine verify (emit-once across tables) -> per-vector near-dup
+    summary (vec_id, n_dups, is_dup).  Oracle-eligible (round-4 verdict
+    #3): n_dups is the vector's exact count of partners at cosine >= 0.9,
+    which DuckDB reproduces by brute-force all-pairs at sf0.01.
+    Soundness: every pipeline pair is exact-cosine-verified (no false
+    positives at any scale) and 16 tables x k planes give candidate
+    recall 1-(1-p^k)^16 (0.996 at cosine exactly 0.9, >0.9999 at 0.95+
+    where real near-dups live);
+    tests/test_pipeline.py::test_embedding_neardup_equals_brute_force
+    plants near-dup pairs and pins the pipeline's counts == exact
+    all-pairs (the driver corpus itself has NO pair above cosine 0.52, so
+    every n_dups is 0 there — the planted-dup pytest is what exercises
+    recall and the emit-once dedup).  The per-vector summary (not the raw
+    pair list) is the driver output because a 0-row Ray dataset surfaces
+    without schema; the pair list stays the stage-level product.
+    Per-bucket top-1 candidate mining (always_top1) stays available on the
+    stage function and is pytest-covered; it is LSH-construction-dependent
+    and therefore not SQL-expressible, so it is no longer in this query's
+    driver output.
 
     Plane count scales with corpus size (parquet metadata row count — a
     footer read, no data scan) so expected bucket size stays ~constant and
@@ -1926,19 +1945,68 @@ def q_embedding_neardup(sf_dir: str):
     # bucket assignment is batch-local, so the bucket column rides along with
     # the vector — only the (coarse bucket_shard) groupby shuffles; buckets
     # stay whole within a shard, so the verifier resolves them one by one
-    # without a Ray callable per bucket (bucket count ~ N/64 at scale)
+    # without a Ray callable per bucket (bucket count ~ L*N/64 at scale)
     def bucketize(b: pa.Table) -> pa.Table:
-        t = similarity.hyperplane_bucket_batch(b, n_planes=n_planes)
-        shard = _shard_col(t.column("bucket"), n_shards)
-        return t.append_column("embedding", b.column("embedding")).append_column(
-            "bucket_shard", shard
+        t = similarity.multitable_bucket_rows(b, n_planes=n_planes, n_tables=16)
+        return t.append_column("bucket_shard", _shard_col(t.column("bucket"), n_shards))
+
+    # emit-once (n_planes passed): the pair set comes out duplicate-free —
+    # each pair from its first colliding table only — so no second dedup
+    # shuffle and the counts below are exact
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_shard")
+        .map_groups(
+            lambda g: similarity.shard_embedding_neardup_pairs(
+                g, threshold=0.9, always_top1=False, n_planes=n_planes
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    # per-vector summary: each verified pair contributes 1 to both ends;
+    # a zero row per vector keeps every vector present (and keeps the
+    # aggregate input non-empty — a Ray dataset that ends 0-row surfaces
+    # with NO schema, which a dup-free corpus like the driver's would hit
+    # if the raw pair list were the output)
+    def pair_ends(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").combine_chunks()
+        b = batch.column("vec_b").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([pa.compute.cast(a, pa.int64()),
+                               pa.compute.cast(b, pa.int64())]),
+             pa.array(np.ones(2 * len(batch), np.int64))],
+            names=["vec_id", "c"],
         )
 
-    with_vec = ds.map_batches(bucketize, batch_format="pyarrow")
-    return with_vec.groupby("bucket_shard").map_groups(
-        lambda g: similarity.shard_embedding_neardup_pairs(g, threshold=0.9),
-        batch_format="pandas",
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        ids = pa.compute.cast(batch.column("vec_id"), pa.int64())
+        return pa.Table.from_arrays(
+            [ids, pa.array(np.zeros(len(batch), np.int64))],
+            names=["vec_id", "c"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    zeros = ray.data.read_parquet(path, columns=["vec_id"]).map_batches(
+        zero_rows, batch_format="pyarrow"
     )
+    counts = (
+        pairs.map_batches(pair_ends, batch_format="pyarrow")
+        .union(zeros)
+        .groupby("vec_id")
+        .aggregate(Sum("c"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pa.compute.cast(batch.column(1), pa.int64())
+        return pa.Table.from_arrays(
+            [batch.column("vec_id"), n,
+             pa.compute.greater(n, pa.scalar(0, pa.int64()))],
+            names=["vec_id", "n_dups", "is_dup"],
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
 
 
 def q_media_features(sf_dir: str):
@@ -3365,6 +3433,60 @@ ORACLE_SQL["simhash_neardup"] = f"""
            CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming
     FROM codes a JOIN codes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.code, b.code)) <= 3
+"""
+
+
+# embedding_neardup oracle (round-4 verdict #3, ○→●): exact brute-force
+# all-pairs cosine >= 0.9 over the 500 sf0.01 vectors (unnest to
+# (vec_id, dim, value), self-join on dim — 16M product rows, trivial for
+# DuckDB at driver scale), folded to the same per-vector partner counts
+# the pipeline emits.  Equality with the banded-LSH pipeline holds
+# because (a) every pipeline-emitted pair is exact-cosine-verified in the
+# bucket (no false positives at any scale), (b) emit-once makes the
+# pipeline's pair set duplicate-free, and (c) candidate recall on this
+# corpus is total — the sf0.01 embeddings are mutually dissimilar (max
+# pairwise cosine 0.52), so every count is 0; the planted-near-dup pytest
+# (test_embedding_neardup_equals_brute_force) is what exercises recall
+# and the emit-once dedup with non-zero counts.  Zero vectors: the
+# pipeline clamps norm 0 -> 1 (cosine 0 < 0.9); SQL's NULL/NaN division
+# fails the >= filter — same exclusion.
+ORACLE_SQL["embedding_neardup"] = """
+    WITH v AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id,
+             unnest(embedding) AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM v
+    ),
+    n AS (
+      SELECT vec_id, sqrt(SUM(CAST(x AS DOUBLE) * x)) AS nrm
+      FROM e GROUP BY vec_id
+    ),
+    dot AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(CAST(a.x AS DOUBLE) * b.x) AS dp
+      FROM e a JOIN e b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT va, vb
+      FROM dot
+      JOIN n na ON na.vec_id = va
+      JOIN n nb ON nb.vec_id = vb
+      WHERE dp / (na.nrm * nb.nrm) >= 0.9
+    ),
+    ends AS (
+      SELECT va AS vec_id FROM pairs
+      UNION ALL
+      SELECT vb AS vec_id FROM pairs
+    ),
+    cnt AS (SELECT vec_id, count(*) AS n FROM ends GROUP BY vec_id)
+    SELECT v.vec_id,
+           CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_dups,
+           COALESCE(cnt.n, 0) > 0 AS is_dup
+    FROM v LEFT JOIN cnt ON cnt.vec_id = v.vec_id
 """
 
 

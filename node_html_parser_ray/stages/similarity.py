@@ -20,6 +20,7 @@ __all__ = [
     "embedding_matrix",
     "TopKCosine",
     "hyperplane_bucket_batch",
+    "multitable_bucket_rows",
     "scaled_n_planes",
     "embedding_neardup_pairs",
     "spherical_kmeans",
@@ -277,15 +278,74 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, column: str = "embedding",
     return centroids, counts
 
 
-_HP_CACHE: dict[tuple[int, int], np.ndarray] = {}
+_HP_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    key = (dim, n_planes)
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic random hyperplanes; ``table`` selects an independent
+    set for the banded (multi-table) LSH construction."""
+    key = (dim, n_planes, table)
     if key not in _HP_CACHE:
-        rng = np.random.RandomState(1234 + n_planes)
+        rng = np.random.RandomState(1234 + n_planes + 7919 * table)
         _HP_CACHE[key] = rng.standard_normal((dim, n_planes)).astype(np.float32)
     return _HP_CACHE[key]
+
+
+def multitable_bucket_rows(
+    batch: pa.Table,
+    n_planes: int,
+    n_tables: int = 16,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Banded hyperplane LSH: ``n_tables`` independent k-plane sign
+    buckets per vector (the cosine analogue of MinHash banding — the
+    OR-construction that single-table sign-LSH lacks; round-4 verdict #3).
+
+    A pair at cosine s collides in one table with p = (1 - acos(s)/pi)^k,
+    so candidate recall is 1 - (1-p)^L: at s=0.9, k=8, L=16 that is 0.996
+    vs 0.29 for the old single table.  Emits L rows per vector — bucket
+    keys carry the table index in the high bits so buckets never collide
+    across tables; the vector rides along (d x float32, dwarfed by the
+    text columns this pipeline never ships) so the in-bucket verify needs
+    no join back.  Shuffle volume is the standard L x banding cost.
+
+    Every row also carries ``all_buckets`` — the vector's FULL key vector
+    (all L keys, computed once here, authoritative) — so the verifier can
+    apply the exact emit-once rule (emit a pair only from its FIRST
+    colliding table: no cross-table duplicate pairs, no second dedup
+    shuffle, and no float sign recomputation whose low-bit accumulation
+    noise could flip a near-zero dot).  Cost: L x L x 8 bytes/vector of
+    extra shuffle payload — below the embedding ride-along itself.
+    """
+    emb = embedding_matrix(batch, column)
+    n = len(emb)
+    ids = batch.column(id_column).combine_chunks()
+    # one matmul for all tables: planes concatenated to (dim, L*k)
+    planes = np.concatenate(
+        [_hyperplanes(emb.shape[1], n_planes, t) for t in range(n_tables)],
+        axis=1,
+    )
+    signs = (emb @ planes) > 0  # (n, L*k)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    keys = np.empty((n_tables, n), dtype=np.int64)
+    for t in range(n_tables):
+        bits = signs[:, t * n_planes : (t + 1) * n_planes].astype(np.int64)
+        keys[t] = (bits @ weights) | (np.int64(t) << np.int64(n_planes))
+    emb_col = batch.column(column).combine_chunks()
+    # per-vector key vector as a fixed-width list column, repeated L times
+    key_lists = pa.FixedSizeListArray.from_arrays(
+        pa.array(keys.T.ravel(), pa.int64()), n_tables
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.concat_arrays([ids] * n_tables),
+            pa.array(keys.ravel(), pa.int64()),
+            pa.concat_arrays([emb_col] * n_tables),
+            pa.concat_arrays([key_lists] * n_tables),
+        ],
+        names=[id_column, "bucket", column, "all_buckets"],
+    )
 
 
 def hyperplane_bucket_batch(
@@ -306,7 +366,8 @@ def hyperplane_bucket_batch(
 
 
 def shard_embedding_neardup_pairs(
-    group, threshold: float = 0.95, always_top1: bool = True
+    group, threshold: float = 0.95, always_top1: bool = True,
+    n_planes: int | None = None,
 ):
     """Coarse-shard verifier: resolve every LSH bucket inside one group.
 
@@ -314,14 +375,32 @@ def shard_embedding_neardup_pairs(
     group count at any corpus size); buckets stay whole within a shard and
     are brute-forced one by one here, avoiding one Ray map_groups callable
     per bucket (bucket count is 2^n_planes ~ N/64 at scale).
+
+    With ``n_planes`` set and the banded ``all_buckets`` column present
+    (:func:`multitable_bucket_rows`), the exact emit-once rule applies: a
+    pair is emitted only from its FIRST colliding table (min t with equal
+    keys, read off the authoritative key vectors — no float
+    recomputation), so the global pair set is duplicate-free without a
+    second dedup shuffle.
     """
     import pandas as pd
 
-    frames = [
-        embedding_neardup_pairs(sub, threshold, always_top1)
-        for _, sub in group.groupby("bucket", sort=True)
-    ]
-    frames = [f for f in frames if len(f)]
+    emit_once = n_planes is not None and "all_buckets" in group.columns
+    frames = []
+    for bucket, sub in group.groupby("bucket", sort=True):
+        f = embedding_neardup_pairs(sub, threshold, always_top1)
+        if emit_once and len(f):
+            t = int(bucket) >> n_planes
+            rows = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            ids = rows["vec_id"].to_numpy()
+            keys = np.stack(rows["all_buckets"].to_numpy()).astype(np.int64)
+            ka = keys[np.searchsorted(ids, f["vec_a"].to_numpy())]
+            kb = keys[np.searchsorted(ids, f["vec_b"].to_numpy())]
+            # collision at THIS table is guaranteed, so argmax = first True
+            first = np.argmax(ka == kb, axis=1)
+            f = f[first == t]
+        if len(f):
+            frames.append(f)
     if not frames:
         return pd.DataFrame(
             {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),

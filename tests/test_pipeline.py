@@ -1033,6 +1033,89 @@ class TestShardCountInvariance:
 
 
 class TestEmbeddingNearDupScaling:
+    def test_embedding_neardup_equals_brute_force(self, ray_session, tmp_path):
+        """Planted-near-dup pin for ORACLE_SQL['embedding_neardup'] (round-4
+        verdict #3): the banded 16-table LSH pipeline's per-vector counts
+        equal exact brute-force all-pairs cosine >= 0.9 on a corpus WITH
+        planted duplicates — i.e. candidate recall is 1.0 here AND the
+        emit-once rule leaves no duplicate pairs to inflate counts.  (The
+        driver's sf0.01 corpus has no pair above cosine 0.52, so its green
+        row only pins the no-false-positive/zero side; this test carries
+        the recall evidence.)  Deterministic: fixed seed, planted pairs at
+        cosine ~0.98 where per-pair miss probability is ~6e-7."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from node_html_parser_ray.pipelines.queries import q_embedding_neardup
+
+        rng = np.random.RandomState(42)
+        d = 32
+        base = rng.standard_normal((240, d)).astype(np.float32)
+        planted = base[:15] + 0.1 * rng.standard_normal((15, d)).astype(np.float32)
+        emb = np.vstack([base, planted.astype(np.float32)])
+        n = len(emb)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(np.arange(n), pa.int64()),
+                 pa.array(list(emb), pa.list_(pa.float32())),
+                 pa.array(np.zeros(n, np.int32), pa.int32())],
+                names=["vec_id", "embedding", "label"],
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        # exact brute force in float64, with a margin guard: no pair may
+        # sit near the 0.9 boundary where float32-vs-float64 noise could
+        # flip membership between the two sides
+        u = emb.astype(np.float64)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        cos = u @ u.T
+        ai, bi = np.triu_indices(n, k=1)
+        vals = cos[ai, bi]
+        assert not ((vals > 0.85) & (vals < 0.95)).any()
+        mask = vals >= 0.9
+        assert int(mask.sum()) >= 15
+        want = np.zeros(n, np.int64)
+        np.add.at(want, ai[mask], 1)
+        np.add.at(want, bi[mask], 1)
+
+        df = q_embedding_neardup(str(tmp_path)).to_pandas()
+        got = df.set_index("vec_id").sort_index()
+        assert list(got.index) == list(range(n))
+        assert got["n_dups"].to_numpy().tolist() == want.tolist()
+        assert got["is_dup"].to_numpy().tolist() == (want > 0).tolist()
+
+    def test_always_top1_candidate_mining(self):
+        """Stage-level: always_top1 emits each bucket's single
+        highest-cosine pair even below threshold (candidate-mining
+        observability on dup-free corpora) — kept out of the driver query
+        (LSH-construction-dependent, not SQL-expressible) but still a
+        supported verifier mode."""
+        import numpy as np
+        import pandas as pd
+
+        from node_html_parser_ray.stages.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        emb = rng.standard_normal((10, 16)).astype(np.float32)
+        g = pd.DataFrame({
+            "vec_id": np.arange(10, dtype=np.int64),
+            "embedding": list(emb),
+        })
+        out = embedding_neardup_pairs(g, threshold=0.99, always_top1=True)
+        assert len(out) == 1  # dissimilar gaussians: top-1 only
+        assert not bool(out["is_neardup"].iloc[0])
+        u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cos = u @ u.T
+        ai, bi = np.triu_indices(10, k=1)
+        best = int(np.argmax(cos[ai, bi]))
+        assert (int(out["vec_a"].iloc[0]), int(out["vec_b"].iloc[0])) == (
+            int(ai[best]), int(bi[best])
+        )
+        strict = embedding_neardup_pairs(g, threshold=0.99, always_top1=False)
+        assert len(strict) == 0
+
     def test_scaled_n_planes_bounds_buckets(self):
         """Plane count grows with N so E[bucket] ~ target (scale contract)."""
         import numpy as np
