@@ -1315,6 +1315,72 @@ def q_value_bands(sf_dir: str):
 # --------------------------- rows-only queries -----------------------------
 
 
+def golden_flat_entry(spans, valid) -> tuple:
+    """Pre-flatten one golden doc's (kind, text, media_ref, order) span
+    tuples to Arrow arrays once, so the per-batch comparison is pure array
+    ops (round-4 verdict #4)."""
+    return (
+        len(spans),
+        bool(valid),
+        pa.array([s[0] for s in spans], pa.string()),
+        pa.array([s[1] for s in spans], pa.large_string()),
+        pa.array([s[2] for s in spans], pa.string()),
+        pa.array([s[3] for s in spans], pa.int32()),
+    )
+
+
+def count_golden_matches(out: pa.Table, golden_map: dict) -> int:
+    """Vectorized extraction-vs-golden comparison (round-4 verdict #4 —
+    no to_pylist span tuples): cheap per-doc metadata check first (golden
+    present, span count, valid flag), then ONE elementwise Arrow equality
+    over the flattened span children of the surviving docs, reduced per
+    doc with minimum.reduceat over the list offsets.  Returns the number
+    of docs whose (spans, valid) match their golden entry exactly."""
+    ids = out.column("doc_id").to_pylist()
+    valids = out.column("valid").to_numpy(zero_copy_only=False)
+    spans_col = out.column("spans").combine_chunks()
+    counts = pc.list_value_length(spans_col).to_numpy().astype(np.int64)
+    exp = [golden_map.get(i) for i in ids]
+    meta_ok = np.array(
+        [
+            e is not None and e[1] == bool(v) and e[0] == c
+            for e, v, c in zip(exp, valids, counts)
+        ],
+        dtype=bool,
+    )
+    sel = np.flatnonzero(meta_ok)
+    if not len(sel):
+        return 0
+    sub = spans_col.take(pa.array(sel, pa.int64()))
+    flat = sub.flatten()
+    SENT = "\x00\x00"
+
+    def _cat(field_idx, typ):
+        return pc.cast(pa.concat_arrays([exp[i][field_idx] for i in sel]), typ)
+
+    def _eq(actual, expected, typ, sent):
+        a = pc.fill_null(pc.cast(actual, typ), sent)
+        b = pc.fill_null(expected, sent)
+        return pc.equal(a, b).to_numpy(zero_copy_only=False)
+
+    eq = (
+        _eq(flat.field("kind"), _cat(2, pa.string()), pa.string(), SENT)
+        & _eq(flat.field("text"), _cat(3, pa.large_string()),
+              pa.large_string(), SENT)
+        & _eq(flat.field("media_ref"), _cat(4, pa.string()),
+              pa.string(), SENT)
+        & _eq(flat.field("order"), _cat(5, pa.int32()), pa.int32(), -1)
+    )
+    seg = np.concatenate(([0], np.cumsum(counts[sel])[:-1]))
+    # empty-span docs pass the metadata check with nothing to compare;
+    # reduceat needs non-empty segments
+    nonzero = counts[sel] > 0
+    doc_ok = np.ones(len(sel), dtype=bool)
+    if eq.size and nonzero.any():
+        doc_ok[nonzero] = np.minimum.reduceat(eq, seg[nonzero])
+    return int(doc_ok.sum())
+
+
 def q_validation_pass_rate(sf_dir: str):
     """Sampled validation (BASELINE.json metric): pipeline output vs golden.
 
@@ -1328,6 +1394,9 @@ def q_validation_pass_rate(sf_dir: str):
     from ..sources.corpus import generate_documents
 
     sample = generate_documents(200, seed=1234)
+    # golden pre-flattened to per-doc Arrow arrays (once, driver side) so
+    # the per-batch comparison below is pure array ops — per-DOC concat,
+    # never per-span Python (round-4 verdict #4)
     golden: dict[str, tuple] = {}
     for row in sample.to_pylist():
         spans, valid, _ = parse_and_extract(
@@ -1336,25 +1405,15 @@ def q_validation_pass_rate(sf_dir: str):
             [s["media_ref"] for s in row["spans"]],
             [s["offset"] for s in row["spans"]],
         )
-        golden[row["doc_id"]] = (tuple(spans), valid)
+        golden[row["doc_id"]] = golden_flat_entry(spans, valid)
     golden_ref = ray.put(golden)
 
     def validate(batch: pa.Table, ref) -> pa.Table:
         # golden map resolved per task: zero-copy local plasma read
         golden_map = ray.get(ref)
         out = extract_stage.extract_batch(batch)
-        n_pass = 0
-        n_fail = 0
-        for row in out.to_pylist():
-            spans = tuple(
-                (s["kind"], s["text"], s["media_ref"], s["order"])
-                for s in row["spans"]
-            )
-            expected = golden_map.get(row["doc_id"])
-            if expected is not None and expected == (spans, row["valid"]):
-                n_pass += 1
-            else:
-                n_fail += 1
+        n_pass = count_golden_matches(out, golden_map)
+        n_fail = len(out) - n_pass
         return pa.Table.from_arrays(
             [pa.array([n_pass], pa.int64()), pa.array([n_fail], pa.int64())],
             names=["n_pass", "n_fail"],

@@ -55,6 +55,67 @@ class TestSpanEquality:
         mismatches = [d for d in golden if result[d] != golden[d]]
         assert mismatches == [], f"span mismatch for {mismatches[:3]}"
 
+    def test_count_golden_matches_vectorized_comparator(self):
+        """The validation_pass_rate comparator (round-4 verdict #4: no
+        to_pylist span tuples) counts exact matches and catches every
+        mismatch class: wrong text, wrong kind, wrong media_ref, wrong
+        order, wrong span count, wrong valid flag, missing golden entry,
+        and null-vs-value media_ref."""
+        from node_html_parser_ray.pipelines.queries import (
+            count_golden_matches,
+            golden_flat_entry,
+        )
+
+        def out_table(rows):
+            span_t = pa.struct(
+                [("kind", pa.string()), ("text", pa.large_string()),
+                 ("media_ref", pa.string()), ("order", pa.int32())]
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.string()),
+                    pa.array([[{"kind": k, "text": t, "media_ref": m,
+                                "order": o} for k, t, m, o in r[1]]
+                              for r in rows], pa.list_(span_t)),
+                    pa.array([r[2] for r in rows], pa.bool_()),
+                ],
+                names=["doc_id", "spans", "valid"],
+            )
+
+        base = [("text", "hello", None, 0), ("image", "", "ref-1", 1)]
+        golden = {
+            "ok": golden_flat_entry(base, True),
+            "badtext": golden_flat_entry(base, True),
+            "badkind": golden_flat_entry(base, True),
+            "badref": golden_flat_entry(base, True),
+            "badorder": golden_flat_entry(base, True),
+            "badcount": golden_flat_entry(base, True),
+            "badvalid": golden_flat_entry(base, True),
+            "nullref": golden_flat_entry(base, True),
+            "empty": golden_flat_entry([], False),
+        }
+        rows = [
+            ("ok", base, True),
+            ("badtext", [("text", "HELLO", None, 0), base[1]], True),
+            ("badkind", [("embed", "hello", None, 0), base[1]], True),
+            ("badref", [base[0], ("image", "", "ref-2", 1)], True),
+            ("badorder", [base[0], ("image", "", "ref-1", 2)], True),
+            ("badcount", [base[0]], True),
+            ("badvalid", base, False),
+            ("nullref", [base[0], ("image", "", None, 1)], True),
+            ("unknown", base, True),
+            ("empty", [], False),
+        ]
+        out = out_table(rows)
+        # only 'ok' and 'empty' match
+        assert count_golden_matches(out, golden) == 2
+        # all-match batch
+        assert count_golden_matches(
+            out_table([("ok", base, True), ("empty", [], False)]), golden
+        ) == 2
+        # empty batch
+        assert count_golden_matches(out_table([]), golden) == 0
+
     def test_all_parser_branches_covered(self):
         """The pathology grammar exercises repair (some docs invalid)."""
         corpus = generate_documents(300, seed=7)
