@@ -155,6 +155,23 @@ rl.on('line', (line) => {
     out.n_children = root.children.length;
     root.removeWhitespace();
     out.rw_outer = root.toString();
+    // trimRight differential (round-5): truncate after the first text
+    // node matching /e/ — fires on most docs, and the no-match path is
+    // covered by docs without an 'e'
+    root.trimRight(/e/);
+    out.tr_outer = root.toString();
+    // removeAttribute on a MISSING key: the reference still routes through
+    // setAttribute(key, undefined) and re-serializes rawAttrs from the
+    // decoded map (normalizing quote styles) — a quirk worth comparing
+    const t2 = root.querySelectorAll('*').find(
+      (el) => Object.keys(el.rawAttributes).length > 0
+    );
+    if (t2) {
+      t2.removeAttribute('data-definitely-missing');
+      out.ra_missing_outer = root.toString();
+    } else {
+      out.ra_missing_outer = null;
+    }
     resp = out;
   } catch (e) {
     resp = { id: req.id, error: String(e && e.stack ? e.stack : e) };

@@ -213,6 +213,19 @@ def _ours(html: str, options=None, selectors=()):
     out["n_children"] = len(root.children)
     root.remove_whitespace()
     out["rw_outer"] = root.to_string()
+    # trimRight differential (round-5 verdict #7): mirrors ref_driver.js
+    root.trim_right("e")
+    out["tr_outer"] = root.to_string()
+    # removeAttribute on a MISSING key still re-serializes rawAttrs from
+    # the decoded map (quote-style normalization quirk) — compared too
+    t2 = next(
+        (el for el in root.query_selector_all("*") if el.raw_attributes), None
+    )
+    if t2 is not None:
+        t2.remove_attribute("data-definitely-missing")
+        out["ra_missing_outer"] = root.to_string()
+    else:
+        out["ra_missing_outer"] = None
     return out
 
 
@@ -220,7 +233,7 @@ _KEYS = (
     "valid", "text", "structured", "outer", "structure", "attrs", "sel",
     "tojson",
     "mut_outer", "mut_get", "mut_script", "fc", "lc", "n_children",
-    "rw_outer",
+    "rw_outer", "tr_outer", "ra_missing_outer",
 )
 
 
