@@ -172,6 +172,11 @@ def main() -> None:
         ray.shutdown()
         return
 
+    # window annotation BEFORE the parent session exists: child processes
+    # own their Ray sessions; ~5 s, and the official artifact records
+    # whether the host window was clean (round-4 verdict #1)
+    control = None if os.environ.get("NHPR_BENCH_NO_CONTROL") else window_control()
+
     import ray
 
     if not ray.is_initialized():
@@ -198,6 +203,8 @@ def main() -> None:
             "mb_per_sec": round(html_bytes / sec / 1e6, 2),
         },
     }
+    if control is not None:
+        result["window_control"] = control
     if args.extraction_only:
         result["metric"] = "extraction_wall_sec"
         result["value"] = round(sec, 3)
@@ -243,6 +250,48 @@ def run_compute_control(cpus: int) -> float:
     return n_tasks / (time.perf_counter() - t0)
 
 
+def _child_json(mode: str, cpus: int) -> dict:
+    """Run one child bench level in a fresh process; fail LOUDLY with its
+    stderr on error (a silent IndexError on empty stdout hid which level
+    died and why)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), mode,
+         "--cpus", str(cpus)],
+        capture_output=True, text=True, cwd=REPO,
+        # children never re-run the window annotation: --scaling measures
+        # its own controls per level
+        env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+             "NHPR_BENCH_NO_CONTROL": "1"},
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling child {mode} cpus={cpus} failed "
+            f"(rc={proc.returncode}); stderr tail:\n"
+            + "\n".join(proc.stderr.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
+
+
+def window_control() -> dict:
+    """Host-window health annotation (round-4 verdict #1): the pure-ALU
+    control at 2 and 8 CPUs, run in fresh child processes BEFORE the suite.
+    On a clean window the 2->8 control efficiency reads >= ~0.9; a
+    contended window (another tenant saturating the socket / memory bus)
+    reads lower, which inflates every parse-heavy wall time below.  The
+    reading ships inside the bench JSON so the recorded number is
+    self-annotating — compare suites only within like windows
+    (BASELINE.md 'Bench host variance')."""
+    wps = {c: _child_json("--control-only", c)["work_per_sec"]
+           for c in (2, 8)}
+    eff = (wps[8] / wps[2]) / 4.0
+    return {
+        "control_work_per_sec": {str(c): round(wps[c], 1) for c in wps},
+        "control_efficiency_2_8": round(eff, 3),
+        "window_clean": eff >= 0.9,
+    }
+
+
 def run_scaling(args) -> None:
     """Same job at multiple parallelism levels in fresh processes
     (north_rule two-cluster-size evidence: N vs 4N).
@@ -259,24 +308,6 @@ def run_scaling(args) -> None:
         int(x)
         for x in os.environ.get("RAY_GRAFT_SCALE_LEVELS", f"2,8,{args.cpus}").split(",")
     ]
-    def _child_json(mode: str, cpus: int) -> dict:
-        """Run one child level; fail LOUDLY with its stderr on error (a
-        silent IndexError on empty stdout hid which level died and why)."""
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), mode,
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
-        )
-        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling child {mode} cpus={cpus} failed "
-                f"(rc={proc.returncode}); stderr tail:\n"
-                + "\n".join(proc.stderr.strip().splitlines()[-15:])
-            )
-        return json.loads(lines[-1])
-
     results = {}
     controls = {}
     for cpus in levels:
