@@ -2164,6 +2164,15 @@ def q_interleaved_media_features(sf_dir: str):
     both = spans.map_batches(text_partial2, batch_format="pyarrow").union(
         decoded.map_batches(media_partial, batch_format="pyarrow")
     )
+    # coalesce the tiny partial-count streams before the rejoin groupby
+    # (round-4 verdict #5): the union inherits 2 x upstream-task-count
+    # blocks of ~65 count rows each, and the sort-based Aggregate's cost
+    # is quadratic in block count (n_blocks x n_partitions block tasks) —
+    # 128 blocks of counts cost ~9 s of pure scheduling at sf0.1.  Block
+    # count should track DATA (2 count rows/doc), not upstream task
+    # count: one cluster-scaled repartition of ~200 KB is free and cuts
+    # the aggregate to _pool-cap-squared block tasks.
+    both = both.repartition(_pool()[1])
     g = both.groupby("doc_id").aggregate(Sum("part_text"), Sum("part_media"))
 
     def finish(batch: pa.Table) -> pa.Table:
