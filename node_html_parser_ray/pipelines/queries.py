@@ -54,6 +54,24 @@ def _pool(frac: int = 4) -> tuple[int, int]:
     return (1, max(2, cpus // frac))
 
 
+def _combine_partials(ds):
+    """Coalesce a pre-aggregated partial stream before its final
+    ``groupby().aggregate()`` (round-4 verdict #5 pattern).
+
+    Per-batch partials leave one tiny block per upstream TASK, and Ray's
+    sort-based Aggregate schedules n_blocks x n_partitions block tasks —
+    at sf0.1 a 128-tiny-block count stream costs ~9 s of pure scheduling
+    for ~8 k rows.  Block count should track the partial DATA, not the
+    upstream task count: one repartition to the cluster-scaled pool cap
+    (cpus/4; 2048 blocks on a 256-node cluster) keeps blocks a few MB for
+    count-per-entity streams at any corpus size while collapsing the
+    aggregate's scheduling quadratic.  Use ONLY on pre-aggregated streams
+    (bounded keys, or O(1) counts per entity) — never on raw row streams,
+    where natural block sizing must win.
+    """
+    return ds.repartition(_pool()[1])
+
+
 def _coarse_shards(multiple: int = 4, floor: int = 1) -> int:
     """Power-of-two coarse-shard count scaled to the cluster.
 
@@ -435,7 +453,7 @@ def q_events_hourly(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     g = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine_partials(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("part_n"), Sum("part_sum"))
     )
@@ -636,11 +654,11 @@ def q_orders_by_nation(sf_dir: str):
         columns=["o_custkey", "o_totalprice"],
     )
     g = (
-        ds.map_batches(
+        _combine_partials(ds.map_batches(
             join_and_partial,
             fn_kwargs={"ref": lookup_ref},
             batch_format="pyarrow",
-        )
+        ))
         .groupby("n_name")
         .aggregate(Sum("part_n"), Sum("part_sum"))
     )
@@ -804,7 +822,7 @@ def q_pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     g = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine_partials(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("part_n"), Sum("part_qty"), Sum("part_base"), Sum("part_disc"))
     )
@@ -873,7 +891,7 @@ def q_revenue_by_region(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     g = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        _combine_partials(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby("r_name")
         .aggregate(Sum("part_n"), Sum("part_rev"))
     )
@@ -1050,9 +1068,9 @@ def q_entities_by_nation(sf_dir: str):
             .rename_columns(["nationkey", "part_n"])
         )
 
-    g = both.map_batches(partial, batch_format="pyarrow").groupby(
-        "nationkey"
-    ).aggregate(Sum("part_n"))
+    g = _combine_partials(
+        both.map_batches(partial, batch_format="pyarrow")
+    ).groupby("nationkey").aggregate(Sum("part_n"))
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["nationkey", "n_entities"])
@@ -1297,9 +1315,9 @@ def q_value_bands(sf_dir: str):
             names=["band", "part_n"],
         )
 
-    g = ds.map_batches(partial, batch_format="pyarrow").groupby("band").aggregate(
-        Sum("part_n")
-    )
+    g = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow")
+    ).groupby("band").aggregate(Sum("part_n"))
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["band", "n_events"])
@@ -1451,9 +1469,11 @@ def q_partition_metrics(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def expand(batch: pa.Table) -> pa.Table:
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        # block-local combine (round-4 verdict #5 pattern): the shuffle
+        # moves 8 partition rows per block, never one row per doc
         m = batch.column("metrics").combine_chunks()
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [
                 batch.column("partition_id"),
                 m.field("n_nodes"),
@@ -1462,16 +1482,32 @@ def q_partition_metrics(sf_dir: str):
             ],
             names=["partition_id", "n_nodes", "n_fixups", "n_bytes"],
         )
+        g = t.group_by("partition_id").aggregate(
+            [("partition_id", "count"), ("n_nodes", "sum"),
+             ("n_fixups", "sum"), ("n_bytes", "sum")]
+        )
+        return g.rename_columns(
+            ["partition_id", "part_docs", "part_nodes", "part_fixups",
+             "part_bytes"]
+        )
 
     g = (
-        out.map_batches(expand, batch_format="pyarrow")
+        _combine_partials(out.map_batches(expand_partial, batch_format="pyarrow"))
         .groupby("partition_id")
-        .aggregate(Count(), Sum("n_nodes"), Sum("n_fixups"), Sum("n_bytes"))
+        .aggregate(Sum("part_docs"), Sum("part_nodes"), Sum("part_fixups"),
+                   Sum("part_bytes"))
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
+        batch = batch.rename_columns(
             ["partition_id", "n_docs", "sum_nodes", "sum_fixups", "sum_bytes"]
+        )
+        return pa.Table.from_arrays(
+            [batch.column("partition_id")]
+            + [pc.cast(batch.column(c), pa.int64())
+               for c in ("n_docs", "sum_nodes", "sum_fixups", "sum_bytes")],
+            names=["partition_id", "n_docs", "sum_nodes", "sum_fixups",
+                   "sum_bytes"],
         )
 
     return g.map_batches(rename, batch_format="pyarrow")
@@ -2294,9 +2330,14 @@ def q_frame_pipeline(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    g = resized.map_batches(partial, batch_format="pyarrow").groupby(
-        "media_ref"
-    ).aggregate(Sum("n_frames"), Sum("total_bytes"))
+    # coalesce the tiny per-batch partials before the rejoin aggregate
+    # (round-4 verdict #5 pattern): block count tracks the count DATA,
+    # not the upstream actor-task count — the sort-based Aggregate costs
+    # n_blocks x n_partitions block tasks
+    partials = resized.map_batches(partial, batch_format="pyarrow").repartition(
+        _pool()[1]
+    )
+    g = partials.groupby("media_ref").aggregate(Sum("n_frames"), Sum("total_bytes"))
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.rename_columns(["media_ref", "n_frames", "total_bytes"])
