@@ -116,15 +116,38 @@ _SHAPE4_SRC = (
     + r"*'[^']*')*=" + _WSQ
     + r"*(?:\"[^\"]*<[^\"]*\"|'[^']*<[^']*')[^<>\"']{8,}"
 )
+# Shape 5 (round-5 fuzz finds, seeds 9,175,218 / 9,619,904 — the round-4
+# campaign recorded these as "V8-only" blowups, but re-measurement showed
+# CPython's engine hangs on them too; the campaign had skipped them before
+# ever running our side): an '='-anchored quoted value whose SPAN (up to
+# its closing quote or EOF) swallows a raw-text open
+# (`<script|style|pre|noscript`).  The value legally crosses tags, so the
+# stage-2 strip sees a later well-formed raw-text region and removes it —
+# but the PRECEDING tag-open attempt (the one holding the quote) scans
+# straight across that material and explodes re-splitting it (measured:
+# both 1M-campaign docs >60 s full / ~15 s at 20 chars of core, ~3x per
+# +2 chars).  Like shape 4, this evidence spans a raw-text boundary, so
+# it must be tested on the RAW string, bypassing the strip.  The quote is
+# tag-anchored (same attr-unit prefix as shapes 3/4) so a bare JS string
+# 'document.write("<script ...")' inside a well-formed script body does
+# not fire — only quotes reachable as a tag-open's attribute value.
+_SHAPE5_SRC = (
+    r"<[a-zA-Z](?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ
+    + r"*'[^']*')*=" + _WSQ
+    + r"*(?:\"[^\"]*<(?:script|style|pre|noscript)\b"
+    + r"|'[^']*<(?:script|style|pre|noscript)\b)"
+)
 _PATHOLOGICAL_SRC = (
     r"<[a-zA-Z](?:[^<>]{11,}(?:<|$)"
     r"|[^<>\"']*[\"'][^\"']*[<>][^\"']*[\"'][^<>]*(?:<|$)"
     r"|(?:[^<>\"']|=" + _WSQ + r"*\"[^\"]*\"|=" + _WSQ + r"*'[^']*'){11,}"
     r"(?:=" + _WSQ + r"*\"[^\"]*|=" + _WSQ + r"*'[^']*)?(?:<|$))"
-    r"|" + _SHAPE4_SRC
+    r"|" + _SHAPE4_SRC + r"|" + _SHAPE5_SRC
 )
 PATHOLOGICAL = re.compile(_PATHOLOGICAL_SRC)
-_SHAPE4 = re.compile(_SHAPE4_SRC)
+# shapes whose evidence can span a raw-text boundary: tested on the RAW
+# string, bypassing the stage-2 strip (see is_pathological)
+_RAW_SHAPES = re.compile(_SHAPE4_SRC + r"|" + _SHAPE5_SRC)
 PATHOLOGICAL_RE2 = _PATHOLOGICAL_SRC  # same source, RE2 syntax-safe
 
 # Stage-2 refinement: kMarkupPattern never scans INSIDE raw-text element
@@ -190,7 +213,7 @@ def is_pathological(html: str) -> bool:
     site sits inside a well-formed script body (e.g. HTML-template JS
     strings '=\"<div ...>\"' + an 8-char run) over-flag — they parse
     bit-identically in the sidecar."""
-    if _SHAPE4.search(html) is not None:
+    if _RAW_SHAPES.search(html) is not None:
         return True
     if PATHOLOGICAL.search(html) is None:
         return False

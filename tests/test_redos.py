@@ -82,6 +82,28 @@ class TestPrescan:
             # units), as in the original fuzz document
             '<P href="/x?y=1&z=2" a=\'un /><pre>tail</ul>'
             "<div lang='un&#65;e'>",
+            # round-5 fuzz finds (seeds 9,175,218 / 9,619,904 — recorded
+            # as "V8-only" skips by the round-4 campaign but CPython hangs
+            # too; shape 5): an '='-anchored quoted value whose span
+            # swallows a raw-text open.  The stage-2 strip removes the
+            # later well-formed <script>..</script> region, but the
+            # PRECEDING tag-open attempt (holding the quote) scans across
+            # it and explodes (~15 s at 20 chars of core, ~3x per +2).
+            # Contiguous cores of both campaign docs:
+            '<img a-b="un&#65;e" a=\'un><b src>&#x41;'
+            '<P href=v href="a=b" />&copy;<script data-9=\'its\' x="qq" '
+            'lang=">x" />tail  spaces &copy;</P>1<2&copy;a&amp;b</br>'
+            "&notit;<ul id='/x?y=1&z=2' x='&copy;' lang='a b",
+            '<p id=\'a b\' x=">x" a=\'un /><script _u class=></h1>'
+            "<a _u='x' id=\"&copy;\"><li lang='  pad  ' _u='q\"q' data-k>"
+            "<table id='&notit;' class=its />&copy;tail  spaces &#x41;"
+            '<P CHECKED="" id=\'&amp;\' CHECKED=""></b><P>&#65;&copy;'
+            "<ul data-k=a class='x' href='  pad  ' _u=\"  pad  \">"
+            "<DIV data-9='  pad  ' data-k=&copy;>"
+            '<a lang="c" lang=a=b lang',
+            # minimal shape-5 forms
+            "<img a='un><script x>",
+            '<img a="un><style x>',
         ):
             assert is_pathological(s), s
 
@@ -124,6 +146,63 @@ class TestPrescan:
         for f in glob.glob("/root/reference/test/html/*.html"):
             s = open(f, encoding="utf-8", errors="replace").read()
             assert not is_pathological(s), f
+
+
+class TestCampaignSkipList:
+    """Round-4 verdict #6: pin the bulk-campaign engine-cost skip list so
+    divergences can't silently accumulate behind 'engine constant' skips.
+
+    The round-4 attribute-soup campaign (1M docs, seeds 9,000,000-
+    9,999,999) skipped exactly 2 documents as 'V8-only' blowups.  Round-5
+    re-measurement (scripts/diff_campaign_attrs.py logs each skip's seed)
+    showed BOTH also hang CPython — they were prescan false negatives,
+    fixed as shape 5.  The pinned list of genuinely-V8-only skips is
+    therefore EMPTY, and the two seeds are regression fixtures: their
+    docs must stay prescan-flagged (bounded sidecar lane), never silently
+    skippable again."""
+
+    # seed -> sha256[:16] of the generated doc (pins generator determinism)
+    FORMER_V8_SKIPS = {
+        9175218: "d0592b3c8357d695",
+        9619904: "2a4de2053f55fa0d",
+    }
+
+    def test_former_v8_skips_are_prescan_flagged(self):
+        import hashlib
+        import random
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/scripts")
+        from diff_campaign_attrs import _random_html_attrs
+
+        assert len(self.FORMER_V8_SKIPS) == 2  # grows only with evidence
+        for seed, sha in self.FORMER_V8_SKIPS.items():
+            rng = random.Random(seed)
+            html = _random_html_attrs(rng, rng.randint(1, 60))
+            assert hashlib.sha256(html.encode()).hexdigest()[:16] == sha
+            # the doc hangs BOTH engines; it must route to the bounded
+            # lane (never parse it unbounded in a test)
+            assert is_pathological(html)
+
+    def test_former_v8_skips_bounded_through_stage(self, monkeypatch):
+        import random
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/scripts")
+        from diff_campaign_attrs import _random_html_attrs
+
+        monkeypatch.setenv("NHPR_PARSE_TIMEOUT", "2.0")
+        rows = []
+        for seed in self.FORMER_V8_SKIPS:
+            rng = random.Random(seed)
+            rows.append(_spans_row(f"skip-{seed}",
+                                   _random_html_attrs(rng, rng.randint(1, 60))))
+        batch = pa.Table.from_pylist(rows, schema=INPUT_SCHEMA)
+        t0 = time.time()
+        out = extract_batch(batch)
+        assert time.time() - t0 < 60.0
+        # both dropped bounded: zero spans, valid=False
+        assert out.column("valid").to_pylist() == [False, False]
 
 
 class TestBoundedLane:
