@@ -2036,7 +2036,13 @@ def q_embedding_neardup(sf_dir: str):
     n_vec = pq.ParquetFile(path).metadata.num_rows
     n_planes = similarity.scaled_n_planes(n_vec)
     n_shards = _coarse_shards()
-    ds = ray.data.read_parquet(path)
+    # block count tracks the DATA (~64k vectors / 16 MB per block), not
+    # Ray's default split: at sf scale a 2000-vector table otherwise
+    # splits into 64 one-KB blocks whose groupby Sort costs ~5 s of pure
+    # scheduling; at 10^9 vectors this still yields ~15k healthy blocks
+    ds = ray.data.read_parquet(
+        path, override_num_blocks=max(1, -(-n_vec // 65536))
+    )
     # bucket assignment is batch-local, so the bucket column rides along with
     # the vector — only the (coarse bucket_shard) groupby shuffles; buckets
     # stay whole within a shard, so the verifier resolves them one by one
@@ -2083,12 +2089,14 @@ def q_embedding_neardup(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    zeros = ray.data.read_parquet(path, columns=["vec_id"]).map_batches(
-        zero_rows, batch_format="pyarrow"
-    )
+    zeros = ray.data.read_parquet(
+        path, columns=["vec_id"],
+        override_num_blocks=max(1, -(-n_vec // 65536)),
+    ).map_batches(zero_rows, batch_format="pyarrow")
     counts = (
-        pairs.map_batches(pair_ends, batch_format="pyarrow")
-        .union(zeros)
+        _combine_partials(
+            pairs.map_batches(pair_ends, batch_format="pyarrow").union(zeros)
+        )
         .groupby("vec_id")
         .aggregate(Sum("c"))
     )

@@ -386,19 +386,11 @@ def shard_embedding_neardup_pairs(
     import pandas as pd
 
     emit_once = n_planes is not None and "all_buckets" in group.columns
+    if emit_once:
+        return _shard_pairs_emit_once(group, threshold, n_planes)
     frames = []
     for bucket, sub in group.groupby("bucket", sort=True):
         f = embedding_neardup_pairs(sub, threshold, always_top1)
-        if emit_once and len(f):
-            t = int(bucket) >> n_planes
-            rows = sub.drop_duplicates("vec_id").sort_values("vec_id")
-            ids = rows["vec_id"].to_numpy()
-            keys = np.stack(rows["all_buckets"].to_numpy()).astype(np.int64)
-            ka = keys[np.searchsorted(ids, f["vec_a"].to_numpy())]
-            kb = keys[np.searchsorted(ids, f["vec_b"].to_numpy())]
-            # collision at THIS table is guaranteed, so argmax = first True
-            first = np.argmax(ka == kb, axis=1)
-            f = f[first == t]
         if len(f):
             frames.append(f)
     if not frames:
@@ -407,6 +399,71 @@ def shard_embedding_neardup_pairs(
              "cosine": pd.Series(dtype=float), "is_neardup": pd.Series(dtype=bool)}
         )
     return pd.concat(frames, ignore_index=True)
+
+
+def _shard_pairs_emit_once(group, threshold: float, n_planes: int):
+    """Vectorized emit-once shard verifier: ONE normalize + bucket-sliced
+    numpy matmuls, no per-bucket pandas machinery (measured: the pandas
+    groupby path spent ~5 s on 4096 tiny buckets at sf0.1 — ~1 ms of
+    frame overhead per bucket dwarfing the actual math).
+
+    Per bucket of table t: exact-cosine pairs >= threshold, kept only when
+    t is the pair's FIRST colliding table (read off the authoritative
+    all_buckets key vectors), so the global pair set is duplicate-free.
+    """
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype=np.int64), "vec_b": pd.Series(dtype=np.int64),
+         "cosine": pd.Series(dtype=float), "is_neardup": pd.Series(dtype=bool)}
+    )
+    n = len(group)
+    if n < 2:
+        return empty
+    buckets = group["bucket"].to_numpy()
+    order = np.argsort(buckets, kind="stable")
+    b = buckets[order]
+    ids = group["vec_id"].to_numpy()[order]
+    emb = np.stack(group["embedding"].to_numpy()[order]).astype(np.float32)
+    keys = np.stack(group["all_buckets"].to_numpy()[order]).astype(np.int64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    emb = emb / norms
+    starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+    ends = np.r_[starts[1:], n]
+    out_a, out_b, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        m = int(e - s)
+        if m < 2:
+            continue
+        sub = emb[s:e]
+        cos = sub @ sub.T
+        ai, bi = np.triu_indices(m, 1)
+        v = cos[ai, bi]
+        mask = v >= threshold
+        if not mask.any():
+            continue
+        ai, bi, v = ai[mask], bi[mask], v[mask]
+        t = int(b[s]) >> n_planes
+        ka, kb = keys[s:e][ai], keys[s:e][bi]
+        # collision at THIS table is guaranteed, so argmax = first True
+        keep = np.argmax(ka == kb, axis=1) == t
+        ia, ib = ids[s:e][ai[keep]], ids[s:e][bi[keep]]
+        # a duplicated input vec_id lands twice in its buckets; a vec is
+        # never a near-dup of itself (oracle joins on vec_a < vec_b)
+        nz = ia != ib
+        if nz.any():
+            out_a.append(np.minimum(ia[nz], ib[nz]))
+            out_b.append(np.maximum(ia[nz], ib[nz]))
+            out_v.append(v[keep][nz])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"vec_a": np.concatenate(out_a).astype(np.int64),
+         "vec_b": np.concatenate(out_b).astype(np.int64),
+         "cosine": np.concatenate(out_v).astype(np.float64),
+         "is_neardup": np.ones(sum(len(x) for x in out_a), dtype=bool)}
+    )
 
 
 def embedding_neardup_pairs(group, threshold: float = 0.95, always_top1: bool = True):
