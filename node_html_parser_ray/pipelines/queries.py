@@ -1678,10 +1678,14 @@ def q_minhash_neardup(sf_dir: str):
     pairs = bands.groupby("band_shard").map_groups(
         dedup.shard_candidate_pairs, batch_format="pandas"
     )
-    # dedup candidate pairs across bands
+    # dedup candidate pairs across bands; coalesce the per-shard pair
+    # blocks first (round-4 verdict #5 pattern — the 64 tiny map_groups
+    # outputs otherwise cost n_blocks x n_partitions scheduling in the
+    # sort-based Aggregate; pair rows are 3 int64s, so even at web scale
+    # a cluster-scaled block count keeps blocks tens of MB)
     from ray.data.aggregate import Count
 
-    g = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    g = _combine_partials(pairs).groupby(["doc_a", "doc_b"]).aggregate(Count())
 
     def rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["doc_a", "doc_b", "n_bands"])
