@@ -302,6 +302,33 @@ class TestFuzzParity:
             html = _random_html(rng, rng.randint(1, 60))
             _compare(ref, html, selectors=SELECTORS[:8], label=f"fuzz[{i}]")
 
+    def test_seeded_attribute_soup(self, ref):
+        """In-suite slice of the bulk attribute-soup campaign generator
+        (scripts/diff_campaign_attrs.py — multi-attribute tags, mixed
+        quote styles, entity/bracket-bearing values): keeps the campaign's
+        doc grammar permanently under pytest, not only in one-off bulk
+        runs.  Prescan-flagged docs are skipped exactly like the campaign
+        (both engines share the kernel blowup by design; the bounded lane
+        covers them — tests/test_redos.py)."""
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo/scripts")
+        from diff_campaign_attrs import _random_html_attrs
+
+        from node_html_parser_ray.kernel.parser import is_pathological
+
+        rng = random.Random(20260818)
+        n_done = 0
+        i = 0
+        while n_done < 80:
+            i += 1
+            html = _random_html_attrs(rng, rng.randint(1, 60))
+            if is_pathological(html):
+                continue
+            _compare(ref, html, selectors=["[class]", "[id=main]", "a[href]"],
+                     label=f"attr-fuzz[{i}]")
+            n_done += 1
+
     def test_seeded_tag_soup_with_options(self, ref):
         rng = random.Random(42)
         option_sets = [
