@@ -3557,6 +3557,107 @@ ORACLE_SQL["simhash_neardup"] = f"""
 """
 
 
+# frame_pipeline oracle (round-5, ○→●): the chain's bookkeeping is
+# closed-form given the stub constants — refs are media://{doc_id}/v (one
+# per doc), FrameSampleStage(n_frames=4) emits exactly 4 frame rows per
+# video regardless of payload, and ImageResizeStage(64x64) always outputs
+# max(16, 64*64//512) = 16 bytes per resized frame (multimodal.py
+# _resize_fake), so total_bytes = 4 * 16.  The oracle therefore pins the
+# PIPELINE accounting — payload synthesis fan-out, per-frame explode,
+# per-video rejoin with no lost or duplicated media_refs — which is the
+# real (non-stub) content of this query.  If the stub constants change,
+# change this oracle with them.
+ORACLE_SQL["frame_pipeline"] = """
+    SELECT 'media://' || CAST(doc_id AS VARCHAR) || '/v' AS media_ref,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(64 AS BIGINT) AS total_bytes
+    FROM documents
+"""
+
+
+# av_features oracle (round-5, ○→●): the fake decoders are deterministic
+# functions of the media_ref, so DuckDB reproduces the whole chain from
+# scratch — crc32(ref) seeds the payload (multimodal._fake_bytes: a
+# splitmix64 word stream truncated to 64 + seed%512 bytes), image dims
+# derive from crc32(payload) (MediaDecodeStage._decode_fake: 64 + low/next
+# 10 bits) and audio metrics are closed-form in the payload length
+# (AudioFeatureStage._decode_fake: 16 kB/s nominal bitrate, 250 ms
+# windows).  crc32 reuses the simhash oracle's table as a LIST constant
+# with one list_reduce per string/payload (no recursion); splitmix64 runs
+# as four list_transform passes in HUGEINT mod-2^64 arithmetic with
+# xor/multiply emulated via wrapped-BIGINT xor and 32-bit-split multiply.
+# What this pins is the full fake-decode PLUMBING — ref synthesis, payload
+# sizing, both actor-pool stages' arithmetic, the union/widening — i.e.
+# everything except the stub codec bodies themselves (which real_decode
+# replaces).  Verified bit-exact over all 1000 sf0.01 rows.
+_P256_SQL = ("[1, 256, 65536, 16777216, 4294967296, 1099511627776, "
+             "281474976710656, 72057594037927936]")
+_CRC_LIST_SQL = "[" + ", ".join(str(int(v)) for v in dedup._CRC_TABLE) + "]"
+_CRC_STEP_SQL = "(c, b) -> xor(cl[(xor(c, b) & 255) + 1], c >> 8)"
+_MIX_PASSES = (
+    """x -> ((x + 11400714819323198485) % 18446744073709551616)""",
+    """x -> ((( ((CASE WHEN (xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) AS HUGEINT) + 18446744073709551616 ELSE CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) AS HUGEINT) END)) * 484763065 ) % 18446744073709551616 + (( ( ((CASE WHEN (xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) AS HUGEINT) + 18446744073709551616 ELSE CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 1073741824)) >= 9223372036854775808 THEN (((x) // 1073741824)) - 18446744073709551616 ELSE (((x) // 1073741824)) END AS BIGINT))) AS HUGEINT) END)) * 3210233709 ) % 4294967296 ) * 4294967296)) % 18446744073709551616)""",
+    """x -> ((( ((CASE WHEN (xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) AS HUGEINT) + 18446744073709551616 ELSE CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) AS HUGEINT) END)) * 321982955 ) % 18446744073709551616 + (( ( ((CASE WHEN (xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) AS HUGEINT) + 18446744073709551616 ELSE CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 134217728)) >= 9223372036854775808 THEN (((x) // 134217728)) - 18446744073709551616 ELSE (((x) // 134217728)) END AS BIGINT))) AS HUGEINT) END)) * 2496678331 ) % 4294967296 ) * 4294967296)) % 18446744073709551616)""",
+    """x -> (CASE WHEN (xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 2147483648)) >= 9223372036854775808 THEN (((x) // 2147483648)) - 18446744073709551616 ELSE (((x) // 2147483648)) END AS BIGINT))) < 0 THEN CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 2147483648)) >= 9223372036854775808 THEN (((x) // 2147483648)) - 18446744073709551616 ELSE (((x) // 2147483648)) END AS BIGINT))) AS HUGEINT) + 18446744073709551616 ELSE CAST((xor(CAST(CASE WHEN (x) >= 9223372036854775808 THEN (x) - 18446744073709551616 ELSE (x) END AS BIGINT), CAST(CASE WHEN (((x) // 2147483648)) >= 9223372036854775808 THEN (((x) // 2147483648)) - 18446744073709551616 ELSE (((x) // 2147483648)) END AS BIGINT))) AS HUGEINT) END)""",
+)
+ORACLE_SQL["av_features"] = f"""
+    WITH
+    tabl AS (SELECT {_CRC_LIST_SQL} AS cl, {_P256_SQL} AS p256),
+    refs AS (
+      SELECT 'media://' || CAST(doc_id AS VARCHAR) || '/' || suffix AS ref,
+             suffix
+      FROM documents, (SELECT unnest(['0', 'a']) AS suffix)
+    ),
+    refcrc AS (
+      SELECT ref, suffix,
+             xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+                   list_transform(range(1, length(ref) + 1),
+                                  i -> CAST(unicode(substr(ref, CAST(i AS INT), 1))
+                                            AS BIGINT))),
+                 {_CRC_STEP_SQL}), 4294967295) AS seed
+      FROM refs, tabl
+    ),
+    meta AS (
+      SELECT ref, suffix, seed, 64 + (seed % 512) AS n_payload FROM refcrc
+    ),
+    imgw AS (
+      SELECT ref, n_payload,
+             list_transform(list_transform(list_transform(list_transform(
+               list_transform(range(0, (n_payload + 7) // 8),
+                              w -> CAST(seed AS HUGEINT) + w),
+               {_MIX_PASSES[0]}), {_MIX_PASSES[1]}), {_MIX_PASSES[2]}),
+               {_MIX_PASSES[3]}) AS wl
+      FROM meta WHERE suffix = '0'
+    ),
+    imgcrc AS (
+      SELECT ref,
+             xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+                   list_transform(range(0, CAST(n_payload AS INT)),
+                     j -> CAST((wl[(j // 8) + 1] // p256[(j % 8) + 1]) % 256
+                               AS BIGINT))),
+                 {_CRC_STEP_SQL}), 4294967295) AS h
+      FROM imgw, tabl
+    )
+    SELECT m.ref AS media_ref,
+           CASE m.suffix WHEN '0' THEN 'image' ELSE 'audio' END AS modality,
+           CAST(CASE m.suffix WHEN '0' THEN 64 + (p.h & 1023) END
+                AS BIGINT) AS width,
+           CAST(CASE m.suffix WHEN '0' THEN 64 + ((p.h >> 10) & 1023) END
+                AS BIGINT) AS height,
+           CAST(CASE m.suffix WHEN '0' THEN m.n_payload END
+                AS BIGINT) AS n_bytes,
+           CAST(CASE m.suffix WHEN 'a'
+                THEN greatest(1, m.n_payload * 1000 // 16000) END
+                AS BIGINT) AS duration_ms,
+           CAST(CASE m.suffix WHEN 'a' THEN 16000 END
+                AS BIGINT) AS sample_rate,
+           CAST(CASE m.suffix WHEN 'a'
+                THEN greatest(1, greatest(1, m.n_payload * 1000 // 16000) // 250)
+                END AS BIGINT) AS n_windows
+    FROM meta m LEFT JOIN imgcrc p ON p.ref = m.ref
+"""
+
+
 # embedding_neardup oracle (round-4 verdict #3, ○→●): exact brute-force
 # all-pairs cosine >= 0.9 over the 500 sf0.01 vectors (unnest to
 # (vec_id, dim, value), self-join on dim — 16M product rows, trivial for
