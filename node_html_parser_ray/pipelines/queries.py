@@ -18,7 +18,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages import classify, dedup, extract_stage, selector_stage, similarity, textstats
-from ..stages.multimodal import MediaDecodeStage, fake_payload_batch
+from ..stages.multimodal import (
+    MediaDecodeStage,
+    fake_payload_batch,
+    payload_batch_size,
+)
 
 __all__ = ["QUERIES", "ORACLE_SQL", "entry_pipeline"]
 
@@ -2129,10 +2133,13 @@ def q_media_features(sf_dir: str):
             names=["media_ref", "kind"],
         )
 
+    # heap-budget batch size: fake payloads are <= 575 B (multimodal
+    # module scale note; real multi-MB media lands at 8-64 per batch)
+    bs = payload_batch_size(576)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
-    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     return ds.map_batches(
-        MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=_pool()
+        MediaDecodeStage, batch_format="pyarrow", batch_size=bs, concurrency=_pool()
     ).select_columns(["media_ref", "kind", "width", "height", "n_bytes"])
 
 
@@ -2174,11 +2181,14 @@ def q_interleaved_media_features(sf_dir: str):
         m = batch.filter(pc.not_equal(batch.column("kind"), "text"))
         return m.select(["media_ref", "kind"])
 
+    # heap-budget batch size (multimodal.payload_batch_size): fakes are
+    # <= 575 B, real multi-MB media lands at 8-64 per batch
+    bs = payload_batch_size(576)
     media = spans.map_batches(media_rows, batch_format="pyarrow")
     media = media.map_batches(fake_payload_batch, batch_format="pyarrow",
-                              batch_size=32)
+                              batch_size=bs)
     decoded = media.map_batches(
-        MediaDecodeStage, batch_format="pyarrow", batch_size=32,
+        MediaDecodeStage, batch_format="pyarrow", batch_size=bs,
         concurrency=_pool(),
     )
 
@@ -2251,10 +2261,11 @@ def q_audio_features(sf_dir: str):
             names=["media_ref"],
         )
 
+    bs = payload_batch_size(576)  # heap-budget batch size (see multimodal)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
-    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     return ds.map_batches(
-        AudioFeatureStage, batch_format="pyarrow", batch_size=32,
+        AudioFeatureStage, batch_format="pyarrow", batch_size=bs,
         concurrency=_pool(),
     ).select_columns(["media_ref", "duration_ms", "sample_rate", "n_windows"])
 
@@ -2317,18 +2328,21 @@ def q_frame_pipeline(sf_dir: str):
             names=["media_ref"],
         )
 
+    bs = payload_batch_size(576)  # heap-budget batch size (see multimodal)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
-    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     frames = ds.map_batches(
         FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
-        batch_format="pyarrow", batch_size=32, concurrency=_pool(),
+        batch_format="pyarrow", batch_size=bs, concurrency=_pool(),
     )
-    # resize reads the frame column directly — no rename-only operator
+    # resize reads the frame column directly — no rename-only operator;
+    # frames are ~1/4 payload size, so the budget allows 4x the rows
     resized = frames.map_batches(
         ImageResizeStage,
         fn_constructor_kwargs={"width": 64, "height": 64,
                                "payload_column": "frame"},
-        batch_format="pyarrow", batch_size=64, concurrency=_pool(),
+        batch_format="pyarrow", batch_size=payload_batch_size(144),
+        concurrency=_pool(),
     )
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -75,6 +75,19 @@ def media_features_schema(feature_dim: int = 16) -> pa.Schema:
 MEDIA_FEATURES_SCHEMA = media_features_schema()
 
 
+def payload_batch_size(avg_payload_bytes: int,
+                       budget_bytes: int = 8 << 20,
+                       lo: int = 8, hi: int = 1024) -> int:
+    """Batch size for payload-bearing actor stages from a HEAP BUDGET,
+    not a constant: ``batch_size x payload x concurrency`` is what must
+    fit a worker heap (module scale note above), so the right batch size
+    is budget/payload — 8-64 for real multi-MB media, ~1024 (capped) for
+    the <1 KB deterministic fakes here.  A constant 32 was sized for the
+    real-payload case and cost ~10x the necessary actor-task overhead on
+    small payloads (round-5 bench)."""
+    return max(lo, min(hi, budget_bytes // max(1, avg_payload_bytes)))
+
+
 def fake_payload_batch(batch: pa.Table) -> pa.Table:
     """Derive a deterministic fake binary payload from media_ref (testing).
 
