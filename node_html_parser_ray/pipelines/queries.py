@@ -3672,6 +3672,46 @@ ORACLE_SQL["av_features"] = f"""
 """
 
 
+# partition_metrics oracle (round-5, ○→●): partition_id is
+# crc32(str(doc_id)) % 8 (extract_stage.partition_ids — stable zlib.crc32,
+# reproduced here with the same table-as-LIST + list_reduce construction
+# as the av_features oracle), and the per-doc parse metrics are
+# closed-form in the interleaved synthesis template (validated against
+# extract_batch over every sf0.01 doc):
+#   html = '<section><h1>t{d}</h1><p>{text}</p>' + n_media x
+#          '<img data-nhpr-media=K>' + '<p>tail</p></section>'
+#   n_media = doc_id % 3  ->  n_bytes = 47 + len(str(d)) + len(text)
+#          + 23*n_media;  n_nodes = (6 if text == '' else 7) + n_media
+#          (an empty <p></p> has no text node; whitespace-only text does);
+#   n_fixups = 0 (the template is well-formed).  Giant-doc salting
+# (>1 MB -> partitions 64+) cannot fire at driver scale (max doc ~600 B).
+ORACLE_SQL["partition_metrics"] = f"""
+    WITH tabl AS (SELECT {_CRC_LIST_SQL} AS cl),
+    d AS (
+      SELECT doc_id, COALESCE(text, '') AS text,
+             CAST(doc_id AS VARCHAR) AS sid
+      FROM documents
+    ),
+    pid AS (
+      SELECT doc_id, text, sid,
+             xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+                   list_transform(range(1, length(sid) + 1),
+                                  i -> CAST(unicode(substr(sid, CAST(i AS INT), 1))
+                                            AS BIGINT))),
+                 {_CRC_STEP_SQL}), 4294967295) % 8 AS partition_id
+      FROM d, tabl
+    )
+    SELECT partition_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text = '' THEN 6 ELSE 7 END + doc_id % 3)
+                AS BIGINT) AS sum_nodes,
+           CAST(0 AS BIGINT) AS sum_fixups,
+           CAST(SUM(47 + length(sid) + length(text) + 23 * (doc_id % 3))
+                AS BIGINT) AS sum_bytes
+    FROM pid GROUP BY partition_id
+"""
+
+
 # embedding_neardup oracle (round-4 verdict #3, ○→●): exact brute-force
 # all-pairs cosine >= 0.9 over the 500 sf0.01 vectors (unnest to
 # (vec_id, dim, value), self-join on dim — 16M product rows, trivial for
