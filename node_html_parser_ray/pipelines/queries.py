@@ -19,12 +19,27 @@ import pyarrow.compute as pc
 
 from ..stages import classify, dedup, extract_stage, selector_stage, similarity, textstats
 from ..stages.multimodal import (
+    FAKE_PAYLOAD_MAX_BYTES,
     MediaDecodeStage,
     fake_payload_batch,
     payload_batch_size,
 )
 
 __all__ = ["QUERIES", "ORACLE_SQL", "entry_pipeline"]
+
+# Positional rename_columns after pyarrow group_by().aggregate() is used
+# throughout this module; the key-vs-aggregate column ORDER has differed
+# across pyarrow versions.  Fail loudly at import on a version whose
+# ordering differs from the (keys-first, "<col>_<fn>") layout the renames
+# assume, instead of silently scrambling aggregate outputs.
+_probe = pa.table({"k": [1]}).group_by("k").aggregate([("k", "count")])
+if _probe.column_names != ["k", "k_count"]:
+    raise RuntimeError(
+        "pyarrow group_by().aggregate() column layout changed "
+        f"({_probe.column_names!r}); audit every positional "
+        "rename_columns after aggregate in this module before running"
+    )
+del _probe
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None):
@@ -1381,9 +1396,17 @@ def count_golden_matches(out: pa.Table, golden_map: dict) -> int:
         return pc.cast(pa.concat_arrays([exp[i][field_idx] for i in sel]), typ)
 
     def _eq(actual, expected, typ, sent):
+        # value equality on null-filled arrays PLUS matching null masks —
+        # fill_null alone would let a literal sentinel value ("\x00\x00",
+        # -1) compare equal to a null, weaker than the exact tuple
+        # comparison this replaced
         a = pc.fill_null(pc.cast(actual, typ), sent)
         b = pc.fill_null(expected, sent)
-        return pc.equal(a, b).to_numpy(zero_copy_only=False)
+        vals = pc.equal(a, b).to_numpy(zero_copy_only=False)
+        nulls = pc.equal(
+            pc.is_null(actual), pc.is_null(expected)
+        ).to_numpy(zero_copy_only=False)
+        return vals & nulls
 
     eq = (
         _eq(flat.field("kind"), _cat(2, pa.string()), pa.string(), SENT)
@@ -1490,9 +1513,15 @@ def q_partition_metrics(sf_dir: str):
             [("partition_id", "count"), ("n_nodes", "sum"),
              ("n_fixups", "sum"), ("n_bytes", "sum")]
         )
-        return g.rename_columns(
-            ["partition_id", "part_docs", "part_nodes", "part_fixups",
-             "part_bytes"]
+        # select by the deterministic aggregate names ("<col>_<fn>") —
+        # key-vs-aggregate column ORDER has differed across pyarrow
+        # versions, so a positional rename is version-fragile
+        return pa.Table.from_arrays(
+            [g.column("partition_id"), g.column("partition_id_count"),
+             g.column("n_nodes_sum"), g.column("n_fixups_sum"),
+             g.column("n_bytes_sum")],
+            names=["partition_id", "part_docs", "part_nodes", "part_fixups",
+                   "part_bytes"],
         )
 
     g = (
@@ -2135,7 +2164,7 @@ def q_media_features(sf_dir: str):
 
     # heap-budget batch size: fake payloads are <= 575 B (multimodal
     # module scale note; real multi-MB media lands at 8-64 per batch)
-    bs = payload_batch_size(576)
+    bs = payload_batch_size(FAKE_PAYLOAD_MAX_BYTES)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     return ds.map_batches(
@@ -2183,7 +2212,7 @@ def q_interleaved_media_features(sf_dir: str):
 
     # heap-budget batch size (multimodal.payload_batch_size): fakes are
     # <= 575 B, real multi-MB media lands at 8-64 per batch
-    bs = payload_batch_size(576)
+    bs = payload_batch_size(FAKE_PAYLOAD_MAX_BYTES)
     media = spans.map_batches(media_rows, batch_format="pyarrow")
     media = media.map_batches(fake_payload_batch, batch_format="pyarrow",
                               batch_size=bs)
@@ -2222,15 +2251,9 @@ def q_interleaved_media_features(sf_dir: str):
     both = spans.map_batches(text_partial2, batch_format="pyarrow").union(
         decoded.map_batches(media_partial, batch_format="pyarrow")
     )
-    # coalesce the tiny partial-count streams before the rejoin groupby
-    # (round-4 verdict #5): the union inherits 2 x upstream-task-count
-    # blocks of ~65 count rows each, and the sort-based Aggregate's cost
-    # is quadratic in block count (n_blocks x n_partitions block tasks) —
-    # 128 blocks of counts cost ~9 s of pure scheduling at sf0.1.  Block
-    # count should track DATA (2 count rows/doc), not upstream task
-    # count: one cluster-scaled repartition of ~200 KB is free and cuts
-    # the aggregate to _pool-cap-squared block tasks.
-    both = both.repartition(_pool()[1])
+    # the union inherits 2 x upstream-task-count tiny blocks of ~65
+    # count rows each — coalesce before the rejoin groupby
+    both = _combine_partials(both)
     g = both.groupby("doc_id").aggregate(Sum("part_text"), Sum("part_media"))
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -2261,7 +2284,7 @@ def q_audio_features(sf_dir: str):
             names=["media_ref"],
         )
 
-    bs = payload_batch_size(576)  # heap-budget batch size (see multimodal)
+    bs = payload_batch_size(FAKE_PAYLOAD_MAX_BYTES)  # heap-budget batch size (see multimodal)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     return ds.map_batches(
@@ -2328,7 +2351,7 @@ def q_frame_pipeline(sf_dir: str):
             names=["media_ref"],
         )
 
-    bs = payload_batch_size(576)  # heap-budget batch size (see multimodal)
+    bs = payload_batch_size(FAKE_PAYLOAD_MAX_BYTES)  # heap-budget batch size (see multimodal)
     ds = _docs(sf_dir, columns=["doc_id"]).map_batches(refs, batch_format="pyarrow")
     ds = ds.map_batches(fake_payload_batch, batch_format="pyarrow", batch_size=bs)
     frames = ds.map_batches(
@@ -2341,7 +2364,8 @@ def q_frame_pipeline(sf_dir: str):
         ImageResizeStage,
         fn_constructor_kwargs={"width": 64, "height": 64,
                                "payload_column": "frame"},
-        batch_format="pyarrow", batch_size=payload_batch_size(144),
+        batch_format="pyarrow",
+        batch_size=payload_batch_size(FAKE_PAYLOAD_MAX_BYTES // 4),
         concurrency=_pool(),
     )
 

@@ -88,6 +88,12 @@ def payload_batch_size(avg_payload_bytes: int,
     return max(lo, min(hi, budget_bytes // max(1, avg_payload_bytes)))
 
 
+# max bytes a fake_payload_batch payload can reach (64 + seed % 512);
+# payload_batch_size callers size their heap budget against this — keep
+# it in lockstep with the sizing expression below
+FAKE_PAYLOAD_MAX_BYTES = 64 + 512
+
+
 def fake_payload_batch(batch: pa.Table) -> pa.Table:
     """Derive a deterministic fake binary payload from media_ref (testing).
 
@@ -98,7 +104,7 @@ def fake_payload_batch(batch: pa.Table) -> pa.Table:
     payloads = []
     for ref in refs:
         seed = zlib.crc32(ref.encode())
-        n = 64 + seed % 512
+        n = 64 + seed % (FAKE_PAYLOAD_MAX_BYTES - 64)
         payloads.append(_fake_bytes(seed, n))
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
 

@@ -379,9 +379,15 @@ def shard_embedding_neardup_pairs(
     With ``n_planes`` set and the banded ``all_buckets`` column present
     (:func:`multitable_bucket_rows`), the exact emit-once rule applies: a
     pair is emitted only from its FIRST colliding table (min t with equal
-    keys, read off the authoritative key vectors — no float
-    recomputation), so the global pair set is duplicate-free without a
-    second dedup shuffle.
+    keys, read off the authoritative key vectors; the threshold decision
+    itself is a table-independent float64 dot, see
+    :func:`_shard_pairs_emit_once`), so the global pair set is
+    duplicate-free without a second dedup shuffle.
+
+    ``always_top1`` is a single-table-path knob only (candidate mining:
+    emit each vector's best in-bucket neighbour even below threshold);
+    the banded emit-once path returns verified >=threshold pairs
+    exclusively and ignores it.
     """
     import pandas as pd
 
@@ -424,11 +430,12 @@ def _shard_pairs_emit_once(group, threshold: float, n_planes: int):
     order = np.argsort(buckets, kind="stable")
     b = buckets[order]
     ids = group["vec_id"].to_numpy()[order]
-    emb = np.stack(group["embedding"].to_numpy()[order]).astype(np.float32)
+    emb64 = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
     keys = np.stack(group["all_buckets"].to_numpy()[order]).astype(np.int64)
-    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms = np.linalg.norm(emb64, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    emb = emb / norms
+    emb64 = emb64 / norms
+    emb = emb64.astype(np.float32)
     starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
     ends = np.r_[starts[1:], n]
     out_a, out_b, out_v = [], [], []
@@ -439,7 +446,19 @@ def _shard_pairs_emit_once(group, threshold: float, n_planes: int):
         sub = emb[s:e]
         cos = sub @ sub.T
         ai, bi = np.triu_indices(m, 1)
-        v = cos[ai, bi]
+        v32 = cos[ai, bi]
+        # float32 prefilter with slack, then a per-candidate float64 dot:
+        # the float32 matmul's reduction order varies with bucket SHAPE,
+        # so the same pair could read <threshold in its first colliding
+        # table and >=threshold in a later one — emitted nowhere under
+        # the emit-once rule.  The float64 refinement is identical in
+        # every table (and matches the float64 oracle), so the threshold
+        # decision is table-independent.
+        cand = v32 >= threshold - 1e-5
+        if not cand.any():
+            continue
+        ai, bi = ai[cand], bi[cand]
+        v = np.einsum("ij,ij->i", emb64[s + ai], emb64[s + bi])
         mask = v >= threshold
         if not mask.any():
             continue

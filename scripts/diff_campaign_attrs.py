@@ -45,6 +45,11 @@ def _rand_attrs(rng):
             q = '"' if rng.random() < 0.5 else "'"
             vv = v.replace(q, "")
             parts.append(f" {k}={q}{vv}{q}")
+    # NOTE: this generator is FROZEN — tests/test_redos.py pins sha256
+    # hashes of docs produced from specific seeds, so even accidental
+    # complexity like the fresh-PRNG-from-a-float-draw below (just an
+    # rng-derived 10% chance) is load-bearing and must not be simplified
+    # without regenerating the pinned fixtures.
     if parts and random.Random(rng.random()).random() < 0.1:
         parts.append(rng.choice([' ="w"', " a='un", ' class=']))
     return "".join(parts)
