@@ -1177,6 +1177,57 @@ class TestEmbeddingNearDupScaling:
         strict = embedding_neardup_pairs(g, threshold=0.99, always_top1=False)
         assert len(strict) == 0
 
+    def test_emit_once_threshold_is_table_independent(self):
+        """Regression: a pair whose float32 in-bucket cosine reads BELOW
+        threshold while the float64 value reads at/above it must still be
+        emitted from its first colliding table (the float32 matmul's
+        reduction order varies with bucket shape, so pre-fix the first
+        table could mask the pair out while later tables' keep-rule
+        blocked it — emitted nowhere)."""
+        import numpy as np
+        import pandas as pd
+
+        from node_html_parser_ray.stages.similarity import (
+            _shard_pairs_emit_once,
+        )
+
+        n_planes = 4
+        b0 = (0 << n_planes) | 3   # table-0 bucket shared by a, b
+        b1 = (1 << n_planes) | 5   # table-1 bucket shared by a, b, c
+        found = None
+        for seed in range(200):
+            rng = np.random.RandomState(seed)
+            a = rng.standard_normal(32)
+            # near-duplicate of a: cosine ~0.999
+            bvec = a + 0.02 * rng.standard_normal(32)
+            # replicate the function's float32 bucket matmul for the
+            # 2-member table-0 bucket and its float64 refinement
+            m64 = np.stack([a, bvec]).astype(np.float64)
+            m64 = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+            m32 = m64.astype(np.float32)
+            v32 = (m32 @ m32.T)[0, 1]
+            v64 = float(np.einsum("ij,ij->i", m64[:1], m64[1:2])[0])
+            if np.float64(v32) < v64:
+                found = (a, bvec, v64)
+                break
+        assert found is not None, "no float32-below-float64 seed in range"
+        a, bvec, v64 = found
+        c = -a  # far from both (cosine ~ -1): never a pair
+        g = pd.DataFrame({
+            "bucket": np.array([b0, b0, b1, b1, b1], dtype=np.int64),
+            "vec_id": np.array([1, 2, 1, 2, 3], dtype=np.int64),
+            "embedding": [a, bvec, a, bvec, c],
+            "all_buckets": [np.array([b0, b1]), np.array([b0, b1]),
+                            np.array([b0, b1]), np.array([b0, b1]),
+                            np.array([(0 << n_planes) | 7, b1])],
+        })
+        # threshold sits in the straddle window: float32 fails, float64
+        # passes — the pair must be emitted exactly once, from table 0
+        out = _shard_pairs_emit_once(g, threshold=v64, n_planes=n_planes)
+        assert len(out) == 1
+        assert (int(out["vec_a"].iloc[0]), int(out["vec_b"].iloc[0])) == (1, 2)
+        assert out["cosine"].iloc[0] >= v64
+
     def test_scaled_n_planes_bounds_buckets(self):
         """Plane count grows with N so E[bucket] ~ target (scale contract)."""
         import numpy as np
