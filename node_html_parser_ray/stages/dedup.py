@@ -489,19 +489,29 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_window_pairs(
-    group: pd.DataFrame, max_hamming: int = 3, window: int = 64
+    group: pd.DataFrame, max_hamming: int = 3, window: int = 64,
+    exact_cap: int = 4096,
 ) -> pd.DataFrame:
-    """Near-linear in-bucket verification: sorted codes + sliding window.
+    """In-bucket verification: exact up to ``exact_cap``, windowed above.
 
     Replaces the all-pairs ``triu_indices`` verify (round-1 verdict: a
     16-bit band bucket holds ~10^7 docs at 10^12 scale, so O(bucket^2) is
     a scale-killer).  Standard sorted-fingerprint scheme (Manku et al.,
     WWW'07): within a band bucket every code shares the band's 16 bits, so
     sorting by the full code clusters low-Hamming neighbours; each code is
-    compared against the next ``window`` codes only — O(bucket x window)
-    with ``window`` the recall/cost knob (codes further apart in sorted
-    order than ``window`` share the band but differ high in the remaining
-    bits).  Exhaustive whenever the bucket is smaller than ``window``.
+    compared against the next ``window`` codes only.
+
+    The window alone truncates recall when a bucket outgrows it (a pair
+    differing in a HIGH non-band bit sorts far apart — measured at sf0.1:
+    776 of 791 exact pairs).  So the effective window is widened to cover
+    the largest bucket up to ``exact_cap`` (the d-loop below stays fully
+    vectorized — cost is O(shard_len x max_bucket), i.e. all-pairs inside
+    the biggest bucket only): the verify is EXACT whenever every bucket
+    fits ``exact_cap``.  Above the cap (~10^7-row buckets at 10^12 docs)
+    the windowed fallback with the logged warning applies — there the
+    exact answer is itself quadratic in OUTPUT (a run of near-identical
+    codes emits all O(b^2) pairs), so a recall knob is the only scalable
+    semantics; ``window`` remains that knob.
 
     When the group carries a ``band_key`` column (coarse ``band_shard``
     groups holding many exact buckets — fixed group count), rows sort by
@@ -536,17 +546,21 @@ def simhash_window_pairs(
         bucket_sizes = np.diff(np.concatenate(([0], change, [len(keys)])))
     else:
         bucket_sizes = np.array([len(ids)])
-    n_over = int((bucket_sizes > window + 1).sum())
+    max_bucket = int(bucket_sizes.max())
+    n_over = int((bucket_sizes > exact_cap + 1).sum())
     if n_over:
         import logging
 
         logging.getLogger(__name__).warning(
-            "simhash_window_pairs: %d bucket(s) exceed window=%d "
-            "(max size %d) — pairs farther apart in sorted order than the "
-            "window are not compared; raise `window` to trade cost for recall",
-            n_over, window, int(bucket_sizes.max()),
+            "simhash_window_pairs: %d bucket(s) exceed exact_cap=%d "
+            "(max size %d) — pairs farther apart in sorted order than "
+            "window=%d are not compared there; raise `window` to trade "
+            "cost for recall",
+            n_over, exact_cap, max_bucket, window,
         )
-    w = min(window, len(ids) - 1)
+    # exact whenever the largest bucket fits exact_cap; never narrower
+    # than the configured window
+    w = min(max(window, min(max_bucket, exact_cap) - 1), len(ids) - 1)
     out_a, out_b, out_h = [], [], []
     for d in range(1, w + 1):
         ham = popcount64(codes[:-d] ^ codes[d:])

@@ -948,6 +948,42 @@ class TestSimhashNearDup:
                        ham[mask]))
         assert got_set == want
 
+    def test_oversize_bucket_exact_up_to_cap(self):
+        """Regression (found by the sf0.1 oracle sweep, 776/791 pairs): a
+        pair differing in a HIGH non-band bit sorts farther apart than the
+        window whenever >window codes fall between them — the widened
+        effective window (exact up to exact_cap) must still find it, and
+        the windowed fallback must kick in only above the cap."""
+        import numpy as np
+        import pandas as pd
+
+        from node_html_parser_ray.stages.dedup import simhash_window_pairs
+
+        # two codes at Hamming 1 (bit 62 flipped) with 100 codes sorting
+        # strictly between them, each far (Hamming >> 3) from everything
+        lo = np.int64(1) << np.int64(10)
+        hi = lo | (np.int64(1) << np.int64(62))
+        rng = np.random.RandomState(11)
+        fillers = []
+        while len(fillers) < 100:
+            c = np.int64(rng.randint(0, 2 ** 61)) | (np.int64(1) << np.int64(61))
+            if bin(int(c) ^ int(lo)).count("1") > 6 and \
+               bin(int(c) ^ int(hi)).count("1") > 6:
+                fillers.append(c)
+        codes = np.array([lo] + fillers + [hi], dtype=np.int64)
+        group = pd.DataFrame(
+            {"doc_id": np.arange(len(codes), dtype=np.int64),
+             "simhash": codes}
+        )
+        got = simhash_window_pairs(group, window=64)
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (0, len(codes) - 1) in pairs  # the far-apart Hamming-1 pair
+        # above the cap the window truncates again (documented fallback)
+        capped = simhash_window_pairs(group, window=64, exact_cap=32)
+        assert (0, len(codes) - 1) not in set(
+            zip(capped["doc_a"], capped["doc_b"])
+        )
+
     def test_simhash_batch_matches_reference(self):
         """Vectorized simhash_batch is bit-exact with the per-doc zlib.crc32
         reference formulation — on real corpus text and on pathological
