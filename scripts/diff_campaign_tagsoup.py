@@ -16,9 +16,11 @@ test module) produces small 1-80-token documents that never trip the
 ReDoS prescan, so unlike the attrs sibling no pathological-skip gate is
 needed; a divergence OR a hang here is a real finding.
 
-Usage: python scripts/diff_campaign_tagsoup.py [n_docs] [seed0]
-(defaults 50000 / 4_000_000; pick a FRESH seed0 per campaign so slices
-never overlap — SURVEY.md records which ranges are spent).
+Usage: python scripts/diff_campaign_tagsoup.py [n_docs] [seed0] [lo,hi]
+(defaults 50000 / 4_000_000 / 1,80; pick a FRESH seed0 per campaign so
+slices never overlap — SURVEY.md records which ranges are spent).  The
+optional lo,hi token range selects the doc-size regime: 1,80 is the
+small tag-soup campaign; 40,400 reproduces the "large-doc" slices.
 """
 import json
 import os
@@ -32,7 +34,7 @@ sys.path.insert(0, "/root/repo/scripts")
 sys.path.insert(0, "/root/repo/tests")
 
 
-def main(n_docs: int, seed0: int) -> int:
+def main(n_docs: int, seed0: int, tok_lo: int = 1, tok_hi: int = 80) -> int:
     import html as html_mod
     import html.entities as ent
     import shutil
@@ -94,7 +96,7 @@ def main(n_docs: int, seed0: int) -> int:
     try:
         for i in range(n_docs):
             rng = random.Random(seed0 + i)
-            html = _random_html(rng, rng.randint(1, 80))
+            html = _random_html(rng, rng.randint(tok_lo, tok_hi))
             if rng.random() < 0.5:
                 sels = [_random_selector(rng) for _ in range(4)]
             else:
@@ -132,4 +134,9 @@ def main(n_docs: int, seed0: int) -> int:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
-    sys.exit(main(n, seed))
+    lo, hi = (
+        (int(x) for x in sys.argv[3].split(","))
+        if len(sys.argv) > 3
+        else (1, 80)
+    )
+    sys.exit(main(n, seed, lo, hi))
