@@ -547,20 +547,22 @@ def simhash_window_pairs(
     else:
         bucket_sizes = np.array([len(ids)])
     max_bucket = int(bucket_sizes.max())
-    n_over = int((bucket_sizes > exact_cap + 1).sum())
+    # exact whenever the largest bucket fits exact_cap; never narrower
+    # than the configured window
+    w = min(max(window, min(max_bucket, exact_cap) - 1), len(ids) - 1)
+    # no-silent-caps: a bucket of size b truncates iff its farthest
+    # in-bucket sorted distance b-1 exceeds the effective window
+    n_over = int((bucket_sizes - 1 > w).sum())
     if n_over:
         import logging
 
         logging.getLogger(__name__).warning(
             "simhash_window_pairs: %d bucket(s) exceed exact_cap=%d "
             "(max size %d) — pairs farther apart in sorted order than "
-            "window=%d are not compared there; raise `window` to trade "
-            "cost for recall",
-            n_over, exact_cap, max_bucket, window,
+            "the effective window %d are not compared there; raise "
+            "`window` to trade cost for recall",
+            n_over, exact_cap, max_bucket, w,
         )
-    # exact whenever the largest bucket fits exact_cap; never narrower
-    # than the configured window
-    w = min(max(window, min(max_bucket, exact_cap) - 1), len(ids) - 1)
     out_a, out_b, out_h = [], [], []
     for d in range(1, w + 1):
         ham = popcount64(codes[:-d] ^ codes[d:])

@@ -978,11 +978,49 @@ class TestSimhashNearDup:
         got = simhash_window_pairs(group, window=64)
         pairs = set(zip(got["doc_a"], got["doc_b"]))
         assert (0, len(codes) - 1) in pairs  # the far-apart Hamming-1 pair
-        # above the cap the window truncates again (documented fallback)
-        capped = simhash_window_pairs(group, window=64, exact_cap=32)
+        # above the cap the window truncates again (documented fallback),
+        # and the no-silent-caps warning fires AT the first truncating
+        # size (bucket of exact_cap+1 rows truncates its farthest pair)
+        import logging
+
+        with self._caplog_warnings() as records:
+            capped = simhash_window_pairs(
+                group, window=64, exact_cap=len(codes) - 1
+            )
         assert (0, len(codes) - 1) not in set(
             zip(capped["doc_a"], capped["doc_b"])
         )
+        assert any("not compared" in r.getMessage() for r in records)
+        with self._caplog_warnings() as records:
+            exact = simhash_window_pairs(
+                group, window=64, exact_cap=len(codes)
+            )
+        assert (0, len(codes) - 1) in set(zip(exact["doc_a"], exact["doc_b"]))
+        assert not records  # exact => silent
+
+    @staticmethod
+    def _caplog_warnings():
+        """Context manager capturing dedup-module warning records."""
+        import contextlib
+        import logging
+
+        @contextlib.contextmanager
+        def cm():
+            logger = logging.getLogger("node_html_parser_ray.stages.dedup")
+            records = []
+
+            class H(logging.Handler):
+                def emit(self, record):
+                    records.append(record)
+
+            h = H(level=logging.WARNING)
+            logger.addHandler(h)
+            try:
+                yield records
+            finally:
+                logger.removeHandler(h)
+
+        return cm()
 
     def test_simhash_batch_matches_reference(self):
         """Vectorized simhash_batch is bit-exact with the per-doc zlib.crc32
