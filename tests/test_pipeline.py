@@ -781,6 +781,25 @@ class TestIVF:
         recall = len(approx & exact) / 10
         assert recall >= 0.9, (recall, sorted(approx), sorted(exact))
 
+    def test_ivf_exhaustive_below_threshold_equals_bruteforce(self, ray_session):
+        """Below _IVF_EXHAUSTIVE_ROWS the adaptive nprobe probes every cell,
+        so q_ann_topk_ivf must return EXACTLY q_ann_topk's (rank, vec_id)
+        rows — this is what licenses the shared DuckDB oracle."""
+        from node_html_parser_ray.pipelines.queries import (
+            _IVF_EXHAUSTIVE_ROWS,
+            q_ann_topk,
+            q_ann_topk_ivf,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq_
+
+        n = pq_.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+        assert n <= _IVF_EXHAUSTIVE_ROWS  # precondition for the exactness claim
+        brute = q_ann_topk(sf).to_pydict()
+        ivf = q_ann_topk_ivf(sf).to_pydict()
+        assert ivf == brute
+
 
 class TestAnnDegenerateCorpora:
     """Review findings: latent IndexError / ArrowInvalid crashes on
