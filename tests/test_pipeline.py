@@ -800,6 +800,39 @@ class TestIVF:
         ivf = q_ann_topk_ivf(sf).to_pydict()
         assert ivf == brute
 
+    def test_ivf_query_pruned_branch_above_threshold(self, ray_session, tmp_path):
+        """Above _IVF_EXHAUSTIVE_ROWS the QUERY takes the nprobe=4 pruned
+        branch (the 100 TB path) — exercise it end-to-end on a synthetic
+        clustered corpus and hold recall@10 vs brute force >= 0.8."""
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        from node_html_parser_ray.pipelines.queries import (
+            _IVF_EXHAUSTIVE_ROWS,
+            q_ann_topk,
+            q_ann_topk_ivf,
+        )
+
+        rng = np.random.RandomState(11)
+        n = _IVF_EXHAUSTIVE_ROWS + 904  # 5000: forces the pruned branch
+        # 8 well-separated clusters so nprobe=4 of 16 cells keeps the
+        # true neighbourhood probeable (the regime IVF is built for)
+        centers = rng.standard_normal((8, 16)).astype(np.float32) * 4
+        pts = centers[np.arange(n) % 8] + rng.standard_normal((n, 16)).astype(
+            np.float32
+        )
+        t = pa.Table.from_arrays(
+            [pa.array(np.arange(n, dtype=np.int64)),
+             pa.array([list(map(float, p)) for p in pts], pa.list_(pa.float32()))],
+            names=["vec_id", "embedding"],
+        )
+        pq_.write_table(t, str(tmp_path / "embeddings.parquet"))
+        sf = str(tmp_path)
+        brute = set(q_ann_topk(sf).column("vec_id").to_pylist())
+        ivf = set(q_ann_topk_ivf(sf).column("vec_id").to_pylist())
+        assert len(ivf) == 10
+        assert len(ivf & brute) >= 8, (sorted(ivf), sorted(brute))
+
 
 class TestAnnDegenerateCorpora:
     """Review findings: latent IndexError / ArrowInvalid crashes on
