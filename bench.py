@@ -273,6 +273,29 @@ def _child_json(mode: str, cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
+def _stream_bandwidth_gb_s(mb: int = 256, reps: int = 3) -> float:
+    """Single-thread streaming-copy memory bandwidth (GB/s, read+write).
+
+    The pure-ALU control misses bandwidth tenants entirely (round-5
+    seventh snapshot: ALU 2->8 read 0.903 "clean" while every query ran
+    2-3x slow) — a big memcpy sees them directly: a co-tenant saturating
+    the socket's memory bus depresses this number even single-threaded.
+    Best-of-reps to shed scheduler noise; the clean-window band for this
+    box is recorded in BASELINE.md alongside each snapshot."""
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    src = np.ones(n)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # touch pages outside the timed region
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = max(best, (2 * n * 8) / (time.perf_counter() - t0) / 1e9)
+    return best
+
+
 def window_control() -> dict:
     """Host-window health annotation (round-4 verdict #1): the pure-ALU
     control at 2 and 8 CPUs, run in fresh child processes BEFORE the suite.
@@ -281,13 +304,18 @@ def window_control() -> dict:
     reads lower, which inflates every parse-heavy wall time below.  The
     reading ships inside the bench JSON so the recorded number is
     self-annotating — compare suites only within like windows
-    (BASELINE.md 'Bench host variance')."""
+    (BASELINE.md 'Bench host variance').
+
+    `window_clean` covers only the ALU dimension — it is necessary, not
+    sufficient (a memory-bandwidth tenant is invisible to it); the
+    `stream_bandwidth_gb_s` reading covers that second dimension."""
     wps = {c: _child_json("--control-only", c)["work_per_sec"]
            for c in (2, 8)}
     eff = (wps[8] / wps[2]) / 4.0
     return {
         "control_work_per_sec": {str(c): round(wps[c], 1) for c in wps},
         "control_efficiency_2_8": round(eff, 3),
+        "stream_bandwidth_gb_s": round(_stream_bandwidth_gb_s(), 2),
         "window_clean": eff >= 0.9,
     }
 
@@ -344,6 +372,7 @@ def run_scaling(args) -> None:
             str(c): results[c]["extraction"]["docs_per_sec"] for c in levels
         },
         "compute_control_work_per_sec": {str(c): controls[c] for c in levels},
+        "stream_bandwidth_gb_s": round(_stream_bandwidth_gb_s(), 2),
         "pairs": pairs,
         "levels": levels,
     }
