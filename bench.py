@@ -316,8 +316,43 @@ def window_control() -> dict:
         "control_work_per_sec": {str(c): round(wps[c], 1) for c in wps},
         "control_efficiency_2_8": round(eff, 3),
         "stream_bandwidth_gb_s": round(_stream_bandwidth_gb_s(), 2),
+        "stream_bandwidth_agg4_gb_s": round(_agg_bandwidth_gb_s(4), 2),
         "window_clean": eff >= 0.9,
     }
+
+
+def _agg_bandwidth_gb_s(procs: int = 4) -> float:
+    """Aggregate multi-process streaming bandwidth (GB/s, read+write).
+
+    A single stream cannot saturate the socket, so a co-tenant can eat
+    most of the TOTAL bandwidth while the single-stream reading stays
+    normal (observed: extraction 2-3x slow with single-stream at
+    17-20 GB/s but 8-proc per-proc readings collapsed to 2-8 GB/s with
+    huge spread).  The aggregate over a few concurrent streams sees
+    that regime directly; its clean band for this box is recorded in
+    BASELINE.md.  Plain subprocesses (not multiprocessing) so it works
+    regardless of how this module was loaded and never forks a
+    Ray-initialized parent."""
+    script = (
+        "import numpy as np, time;"
+        "n = 128 * 1024 * 1024 // 8;"
+        "src = np.ones(n); dst = np.empty_like(src);"
+        "np.copyto(dst, src);"
+        "reps = 4; t0 = time.perf_counter();\n"
+        "for _ in range(reps): np.copyto(dst, src)\n"
+        "print(reps * 2 * n * 8 / (time.perf_counter() - t0) / 1e9)"
+    )
+    children = [
+        subprocess.Popen([sys.executable, "-c", script],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(procs)
+    ]
+    total = 0.0
+    for ch in children:
+        out, _ = ch.communicate()
+        if ch.returncode == 0 and out.strip():
+            total += float(out.strip().splitlines()[-1])
+    return total
 
 
 def run_scaling(args) -> None:
