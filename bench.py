@@ -273,27 +273,96 @@ def _child_json(mode: str, cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
-def _stream_bandwidth_gb_s(mb: int = 256, reps: int = 3) -> float:
-    """Single-thread streaming-copy memory bandwidth (GB/s, read+write).
+# one shared streaming-copy kernel for BOTH the single-stream and the
+# aggregate probe, so the two readings are like-for-like (same buffer
+# size, same sustained-mean statistic) and cannot drift independently.
+# mean-over-window, NOT best-of: a health probe must see bursty tenants;
+# best-of-reps picks the least-contended instant and reads optimistic.
+# The child busy-sleeps to a shared wall-clock start so all timed
+# windows overlap (no barrier = sequential spawn skew lets each child
+# run alone and a contended window sums to a clean-looking aggregate),
+# then reports how late it was if it missed the barrier.
+_BW_CHILD = """
+import json, sys, time
+import numpy as np
+mb, reps, start_at = int(sys.argv[1]), int(sys.argv[2]), float(sys.argv[3])
+n = mb * 1024 * 1024 // 8
+src = np.ones(n)
+dst = np.empty_like(src)
+np.copyto(dst, src)  # touch pages outside the timed region
+late = time.time() - start_at
+if late < 0:
+    time.sleep(-late)
+    late = 0.0
+t0 = time.perf_counter()
+for _ in range(reps):
+    np.copyto(dst, src)
+dt = time.perf_counter() - t0
+print(json.dumps({"gb_s": reps * 2 * n * 8 / dt / 1e9, "late_s": late}))
+"""
 
-    The pure-ALU control misses bandwidth tenants entirely (round-5
-    seventh snapshot: ALU 2->8 read 0.903 "clean" while every query ran
-    2-3x slow) — a big memcpy sees them directly: a co-tenant saturating
-    the socket's memory bus depresses this number even single-threaded.
-    Best-of-reps to shed scheduler noise; the clean-window band for this
-    box is recorded in BASELINE.md alongside each snapshot."""
-    import numpy as np
 
-    n = mb * 1024 * 1024 // 8
-    src = np.ones(n)
-    dst = np.empty_like(src)
-    np.copyto(dst, src)  # touch pages outside the timed region
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.copyto(dst, src)
-        best = max(best, (2 * n * 8) / (time.perf_counter() - t0) / 1e9)
-    return best
+def _bw_probe(procs: int, mb: int = 128, reps: int = 4,
+              _lead: float | None = None) -> dict:
+    """Streaming-copy memory bandwidth (GB/s, read+write) over ``procs``
+    concurrent child processes with a synchronized timed window.
+
+    The pure-ALU control misses bandwidth tenants entirely, and a single
+    stream cannot saturate the socket, so a co-tenant can eat most of the
+    TOTAL bandwidth while the single-stream reading stays normal
+    (observed: extraction 2-3x slow with ALU 2->8 at 0.903 "clean" and
+    single-stream at 17-20 GB/s, while concurrent per-proc streams
+    collapsed to 2-8 GB/s).  ``procs=1`` is the single-stream reading;
+    ``procs=4`` the aggregate.  Children fail LOUDLY (a silently dropped
+    child would make probe breakage read as extreme contention); if any
+    child misses the start barrier the probe re-runs once with a longer
+    lead and reports ``sync_ok`` either way.  Clean bands for this box
+    are recorded in BASELINE.md.  Plain subprocesses, never forking a
+    Ray-initialized parent."""
+    lead = _lead if _lead is not None else 2.0 + 0.3 * procs
+    start_at = time.time() + lead
+    children = [
+        subprocess.Popen(
+            [sys.executable, "-c", _BW_CHILD, str(mb), str(reps), repr(start_at)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for _ in range(procs)
+    ]
+    outs, errs = [], []
+    for ch in children:
+        out, err = ch.communicate()
+        if ch.returncode != 0 or not out.strip():
+            errs.append(f"rc={ch.returncode}: "
+                        + "\n".join(err.strip().splitlines()[-5:]))
+        else:
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    if errs:
+        raise RuntimeError(
+            f"bandwidth probe: {len(errs)}/{procs} children failed:\n"
+            + "\n".join(errs))
+    max_late = max(o["late_s"] for o in outs)
+    if max_late > 0 and _lead is None:  # one retry with a longer lead
+        return _bw_probe(procs, mb, reps, _lead=lead * 2 + max_late)
+    return {
+        "gb_s": round(sum(o["gb_s"] for o in outs), 2),
+        "sync_ok": max_late == 0.0,
+    }
+
+
+def _bw_readings() -> dict:
+    """Single-stream + 4-proc aggregate bandwidth, as JSON-ready fields.
+
+    `bandwidth_clean` folds the BASELINE.md clean bands (~16-20 single /
+    ~65-70 agg4 GB/s on this box, measured with this same kernel) into a
+    machine-readable bit at conservative ~70%-of-band thresholds, so a
+    recorded JSON is interpretable without the prose."""
+    single = _bw_probe(1)
+    agg4 = _bw_probe(4)
+    return {
+        "stream_bandwidth_gb_s": single["gb_s"],
+        "stream_bandwidth_agg4_gb_s": agg4["gb_s"],
+        "bandwidth_sync_ok": single["sync_ok"] and agg4["sync_ok"],
+        "bandwidth_clean": single["gb_s"] >= 12.0 and agg4["gb_s"] >= 48.0,
+    }
 
 
 def window_control() -> dict:
@@ -306,53 +375,18 @@ def window_control() -> dict:
     self-annotating — compare suites only within like windows
     (BASELINE.md 'Bench host variance').
 
-    `window_clean` covers only the ALU dimension — it is necessary, not
-    sufficient (a memory-bandwidth tenant is invisible to it); the
-    `stream_bandwidth_gb_s` reading covers that second dimension."""
+    `window_clean` covers only the ALU dimension — necessary, not
+    sufficient; `bandwidth_clean` covers the memory-bandwidth dimension
+    (see _bw_readings); a window is clean iff BOTH read true."""
     wps = {c: _child_json("--control-only", c)["work_per_sec"]
            for c in (2, 8)}
     eff = (wps[8] / wps[2]) / 4.0
     return {
         "control_work_per_sec": {str(c): round(wps[c], 1) for c in wps},
         "control_efficiency_2_8": round(eff, 3),
-        "stream_bandwidth_gb_s": round(_stream_bandwidth_gb_s(), 2),
-        "stream_bandwidth_agg4_gb_s": round(_agg_bandwidth_gb_s(4), 2),
+        **_bw_readings(),
         "window_clean": eff >= 0.9,
     }
-
-
-def _agg_bandwidth_gb_s(procs: int = 4) -> float:
-    """Aggregate multi-process streaming bandwidth (GB/s, read+write).
-
-    A single stream cannot saturate the socket, so a co-tenant can eat
-    most of the TOTAL bandwidth while the single-stream reading stays
-    normal (observed: extraction 2-3x slow with single-stream at
-    17-20 GB/s but 8-proc per-proc readings collapsed to 2-8 GB/s with
-    huge spread).  The aggregate over a few concurrent streams sees
-    that regime directly; its clean band for this box is recorded in
-    BASELINE.md.  Plain subprocesses (not multiprocessing) so it works
-    regardless of how this module was loaded and never forks a
-    Ray-initialized parent."""
-    script = (
-        "import numpy as np, time;"
-        "n = 128 * 1024 * 1024 // 8;"
-        "src = np.ones(n); dst = np.empty_like(src);"
-        "np.copyto(dst, src);"
-        "reps = 4; t0 = time.perf_counter();\n"
-        "for _ in range(reps): np.copyto(dst, src)\n"
-        "print(reps * 2 * n * 8 / (time.perf_counter() - t0) / 1e9)"
-    )
-    children = [
-        subprocess.Popen([sys.executable, "-c", script],
-                         stdout=subprocess.PIPE, text=True)
-        for _ in range(procs)
-    ]
-    total = 0.0
-    for ch in children:
-        out, _ = ch.communicate()
-        if ch.returncode == 0 and out.strip():
-            total += float(out.strip().splitlines()[-1])
-    return total
 
 
 def run_scaling(args) -> None:
@@ -373,9 +407,14 @@ def run_scaling(args) -> None:
     ]
     results = {}
     controls = {}
+    bw = {}
     for cpus in levels:
         results[cpus] = _child_json("--extraction-only", cpus)
         controls[cpus] = _child_json("--control-only", cpus)["work_per_sec"]
+        # bandwidth annotation PER LEVEL, inside the trial loop — a
+        # tenant active during one level but gone by trial end must show
+        # against that level's numbers, not a post-trial reading
+        bw[cpus] = _bw_readings()
 
     def eff(lo: int, hi: int) -> dict:
         tp_lo = results[lo]["extraction"]["docs_per_sec"]
@@ -407,7 +446,12 @@ def run_scaling(args) -> None:
             str(c): results[c]["extraction"]["docs_per_sec"] for c in levels
         },
         "compute_control_work_per_sec": {str(c): controls[c] for c in levels},
-        "stream_bandwidth_gb_s": round(_stream_bandwidth_gb_s(), 2),
+        "stream_bandwidth_gb_s": {
+            str(c): bw[c]["stream_bandwidth_gb_s"] for c in levels},
+        "stream_bandwidth_agg4_gb_s": {
+            str(c): bw[c]["stream_bandwidth_agg4_gb_s"] for c in levels},
+        "bandwidth_clean": {
+            str(c): bw[c]["bandwidth_clean"] for c in levels},
         "pairs": pairs,
         "levels": levels,
     }
