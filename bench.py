@@ -413,7 +413,12 @@ def run_scaling(args) -> None:
         controls[cpus] = _child_json("--control-only", cpus)["work_per_sec"]
         # bandwidth annotation PER LEVEL, inside the trial loop — a
         # tenant active during one level but gone by trial end must show
-        # against that level's numbers, not a post-trial reading
+        # against that level's numbers, not a post-trial reading.  Let
+        # the just-exited Ray child's teardown settle first: its raylet
+        # cleanup eats bandwidth for a few seconds and reads as a fake
+        # tenant (trial 24: level-32 agg4 21.5 GB/s right after the
+        # best-ever extraction and ALU readings)
+        time.sleep(4.0)
         bw[cpus] = _bw_readings()
 
     def eff(lo: int, hi: int) -> dict:
