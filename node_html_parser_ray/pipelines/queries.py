@@ -2928,14 +2928,24 @@ def q_repetition_score(sf_dir: str):
 
 
 def q_kmeans_clusters(sf_dir: str):
-    """Distributed spherical k-means (iterative algorithm pattern;
-    rows-only — not SQL-expressible).
+    """Distributed spherical k-means (iterative algorithm pattern).
 
     5 Lloyd iterations over the embeddings Dataset: centroids broadcast
     per iteration, per-batch partial (sum, count) rows, driver-side
     update over <= k x blocks compact rows.  Deterministic init from the
     first parquet row-group.  Output: one row per cluster with its size
     (stable under any block split — full-pass exact Lloyd's).
+
+    Oracle-backed (round 5): the fixed iteration count makes Lloyd's
+    SQL-expressible after all — ``_kmeans_oracle_sql`` unrolls the 5
+    assignment/update passes into chained CTEs over the same
+    deterministic linspace init (``vec_id`` is positional in the
+    testdata, and row-group 0 always covers ``min(512, rows)``).  The
+    engine computes in float32, the oracle in float64; the integer
+    member counts agree because the minimum top-2 assignment margin on
+    the testdata is >= 3.6e-5 at every scale — far above float32
+    rounding (~1e-7 relative).  Verified count-exact vs the live
+    pipeline at sf0.001/0.01/0.1.
     """
     import pyarrow.parquet as pq
     import ray
@@ -3815,6 +3825,87 @@ ORACLE_SQL["embedding_neardup"] = """
            COALESCE(cnt.n, 0) > 0 AS is_dup
     FROM v LEFT JOIN cnt ON cnt.vec_id = v.vec_id
 """
+
+
+def _kmeans_oracle_sql(iters: int = 5, k: int = 8) -> str:
+    """Unrolled fixed-iteration Lloyd's as chained DuckDB CTEs.
+
+    Mirrors ``q_kmeans_clusters`` exactly: init = L2-normalized vectors
+    at positions ``floor(i*(n-1)/(k-1))`` for ``n = least(512, rows)``
+    (``vec_id`` is positional; row-group 0 covers ``min(512, rows)`` in
+    the testdata, so the first-row-group sample is SQL-visible), then
+    per iteration an argmax-cosine assignment (``row_number`` ordered by
+    dot DESC, cell ASC — numpy argmax's first-max tiebreak) and a
+    normalized elementwise-sum centroid update with empty cells keeping
+    the previous centroid.  Counts come from the ``iters``-th
+    assignment, matching ``kmeans_fit``'s last-iteration partials.  The
+    fractional init positions sit >= 1/(k-1) away from integers when not
+    exact, so float64 ``floor`` parity with ``np.linspace(...).astype``
+    is guaranteed at these magnitudes.
+    """
+    km1 = k - 1
+    parts = [f"""
+    WITH
+    params AS (SELECT least(512, count(*)) AS n FROM embeddings),
+    eu AS (
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nv FROM eu GROUP BY vec_id),
+    en AS (
+      SELECT eu.vec_id, eu.d,
+             CASE WHEN nv > 0 THEN x / nv ELSE x END AS x
+      FROM eu JOIN nrm USING (vec_id)
+    ),
+    ev AS (SELECT vec_id, list(x ORDER BY d) AS v FROM en GROUP BY vec_id),
+    init_pos AS (
+      SELECT i AS cell, CAST(floor(i * (n - 1) / {km1}.0) AS BIGINT) AS pos
+      FROM params, generate_series(0, {km1}) AS t(i)
+    ),
+    c0 AS (SELECT cell, ev.v AS v FROM init_pos JOIN ev ON ev.vec_id = init_pos.pos)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+    a{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT ev.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY ev.vec_id
+                 ORDER BY list_dot_product(ev.v, c.v) DESC, c.cell ASC) AS rn
+        FROM ev CROSS JOIN c{p} c
+      ) WHERE rn = 1
+    )""")
+        if t < iters:
+            parts.append(f""",
+    s{t} AS (
+      SELECT a.cell, en.d, SUM(en.x) AS sx
+      FROM a{t} a JOIN en ON en.vec_id = a.vec_id
+      GROUP BY a.cell, en.d
+    ),
+    sv{t} AS (
+      SELECT cell, list(sx ORDER BY d) AS svec, sqrt(SUM(sx * sx)) AS snrm
+      FROM s{t} GROUP BY cell
+    ),
+    c{t} AS (
+      SELECT p.cell,
+             CASE WHEN sv.snrm > 0
+                  THEN list_transform(sv.svec, y -> y / sv.snrm)
+                  ELSE p.v END AS v
+      FROM c{p} p LEFT JOIN sv{t} sv ON sv.cell = p.cell
+    )""")
+    parts.append(f""",
+    cnts AS (SELECT cell, count(*) AS c FROM a{iters} GROUP BY cell)
+    SELECT CAST(g.i AS INTEGER) AS cluster,
+           CAST(COALESCE(cnts.c, 0) AS BIGINT) AS n_members
+    FROM generate_series(0, {km1}) AS g(i)
+    LEFT JOIN cnts ON cnts.cell = g.i
+    WHERE (SELECT n FROM params) > 0""")
+    return "".join(parts)
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_oracle_sql()
 
 
 def entry_pipeline(sf_dir: str = "/root/testdata/sf0.001"):

@@ -1591,6 +1591,45 @@ class TestDistributedKMeans:
         assert a_n.sum() == n_vecs
         assert (np.abs(np.linalg.norm(a_c, axis=1) - 1.0) < 1e-5).all()
 
+    def test_kmeans_oracle_sql_matches_pipeline(self, ray_session):
+        """ORACLE_SQL['kmeans_clusters'] (round-5 unrolled-Lloyd CTEs)
+        reproduces the float32 pipeline's integer member counts exactly —
+        the float64-vs-float32 gap is safe because the testdata's minimum
+        top-2 assignment margin (>= 3.6e-5 at every sf) dwarfs float32
+        rounding."""
+        import duckdb
+
+        from node_html_parser_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        got = sorted(
+            (r["cluster"], r["n_members"])
+            for r in QUERIES["kmeans_clusters"](sf).to_pylist()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        want = sorted(map(tuple, con.execute(
+            ORACLE_SQL["kmeans_clusters"]).fetchall()))
+        assert got == want
+        assert len(got) == 8 and sum(n for _, n in got) == 500
+
+    def test_kmeans_oracle_sql_empty_corpus(self):
+        """The oracle's empty-table guard matches the pipeline's 0-row
+        output (the WHERE params.n > 0 clause)."""
+        import duckdb
+
+        from node_html_parser_ray.pipelines.queries import ORACLE_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT CAST(NULL AS BIGINT) AS vec_id,"
+            " CAST(NULL AS FLOAT[]) AS embedding WHERE FALSE"
+        )
+        assert con.execute(ORACLE_SQL["kmeans_clusters"]).fetchall() == []
+
 
 class TestSequencePacking:
     def test_pack_invariants(self, ray_session):
