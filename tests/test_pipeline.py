@@ -1616,6 +1616,72 @@ class TestDistributedKMeans:
         assert got == want
         assert len(got) == 8 and sum(n for _, n in got) == 500
 
+    @pytest.mark.parametrize("seed,n_vecs,dim", [
+        (7, 40, 8), (19, 300, 16), (101, 700, 12),
+    ])
+    def test_kmeans_oracle_sql_matches_fit_on_synthetic(
+            self, ray_session, tmp_path, seed, n_vecs, dim):
+        """Property pin beyond the fixed testdata: on synthetic corpora
+        (single row group, positional vec_id — the layout the oracle
+        documents as its premise) the unrolled SQL reproduces
+        kmeans_fit's counts, including the n<512 and n>512 init-index
+        regimes.  A margin guard skips draws whose top-2 assignment
+        margin is inside float32 noise, so the test pins the formula,
+        not FP luck."""
+        import duckdb
+        import numpy as np
+        import pyarrow.parquet as pq2
+        import ray
+
+        from node_html_parser_ray.pipelines.queries import _kmeans_oracle_sql
+        from node_html_parser_ray.stages import similarity
+
+        rng = np.random.RandomState(seed)
+        mat = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+        path = str(tmp_path / "emb.parquet")
+        pq2.write_table(pa.table({
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float32())),
+        }), path)
+
+        n = min(512, n_vecs)
+        idx = np.linspace(0, n - 1, 8).astype(np.int64)
+        init = mat[idx]
+        _, counts = similarity.kmeans_fit(
+            ray.data.read_parquet(path), k=8, iters=5, init=init)
+
+        # margin guard: replicate assignments in float64 and skip draws
+        # where any top-2 margin is below float32-noise scale
+        def norm(m):
+            nv = np.linalg.norm(m, axis=1, keepdims=True)
+            nv[nv == 0] = 1
+            return m / nv
+
+        e = norm(mat.astype(np.float64))
+        c = norm(mat[idx].astype(np.float64).copy())
+        for _ in range(5):
+            d = e @ c.T
+            s = np.sort(d, axis=1)
+            if np.min(s[:, -1] - s[:, -2]) < 1e-5:
+                pytest.skip("borderline top-2 margin draw")
+            a = np.argmax(d, axis=1)
+            new = c.copy()
+            for cell in range(8):
+                m = e[a == cell]
+                if len(m):
+                    sv = m.sum(axis=0)
+                    nv = np.linalg.norm(sv)
+                    if nv > 0:
+                        new[cell] = sv / nv
+            c = new
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+        want = dict(con.execute(_kmeans_oracle_sql()).fetchall())
+        assert {cl: int(cn) for cl, cn in enumerate(counts)} == want
+
     def test_kmeans_oracle_sql_empty_corpus(self):
         """The oracle's empty-table guard matches the pipeline's 0-row
         output (the WHERE params.n > 0 clause)."""
