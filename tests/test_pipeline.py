@@ -1912,6 +1912,47 @@ class TestCrashRecovery:
         t = pq.read_table(shard0, columns=["doc_id"])
         assert t.num_rows == 15
 
+    def test_worker_death_mid_task_retried_exactly_once(
+        self, ray_session, tmp_path
+    ):
+        """A worker process dying MID-BATCH (the single-node analogue of a
+        node preemption / OOM-kill on a 256-node run) is retried by Ray's
+        task-lineage machinery and the job still produces output identical
+        to the no-crash golden — no lost rows, no duplicated rows (blocks
+        from the dead attempt are discarded, never partially consumed)."""
+        import pyarrow.parquet as pq
+        import ray
+
+        corpus = generate_documents(200, seed=11)
+        golden = golden_spans(corpus)
+        path = str(tmp_path / "corpus.parquet")
+        pq.write_table(corpus, path)
+
+        flag = str(tmp_path / "crashed_once")
+
+        def crash_once_then_extract(batch: pa.Table) -> pa.Table:
+            try:
+                fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return extract_batch(batch)
+            os.close(fd)
+            os._exit(1)  # hard process death, not a catchable exception
+
+        ds = ray.data.read_parquet(path, override_num_blocks=4).map_batches(
+            crash_once_then_extract, batch_format="pyarrow", batch_size=64
+        )
+        rows = ds.take_all()
+        assert os.path.exists(flag), "the planted worker death never fired"
+
+        result = {}
+        for row in rows:
+            spans = [
+                (s["kind"], s["text"], s["media_ref"], s["order"])
+                for s in row["spans"]
+            ]
+            result[row["doc_id"]] = (spans, row["valid"])
+        assert result == golden
+
 
 class TestDriverContract:
     def test_oracle_queries_within_driver_row_cap(self):
