@@ -1953,6 +1953,43 @@ class TestCrashRecovery:
             result[row["doc_id"]] = (spans, row["valid"])
         assert result == golden
 
+    def test_actor_pool_death_restarted_exactly_once(
+        self, ray_session, tmp_path
+    ):
+        """An actor-pool stage losing an actor MID-BATCH is restored by the
+        operator's actor restart (Ray Data creates map actors with
+        max_restarts > 0) and the in-flight batch is resubmitted: output is
+        exactly the input id set, no loss and no duplication.  This is the
+        stateful-stage counterpart of the task-retry test above — at
+        cluster scale it is what keeps a selector/decoder pool alive
+        through node preemption."""
+        import ray
+
+        flag = str(tmp_path / "actor_crashed_once")
+
+        class CrashOnceIdentity:
+            def __init__(self) -> None:
+                self.calls = 0  # per-actor state, rebuilt on restart
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                self.calls += 1
+                try:
+                    fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    return batch
+                os.close(fd)
+                os._exit(1)
+
+        ds = ray.data.range(600, override_num_blocks=6).map_batches(
+            CrashOnceIdentity,
+            batch_format="pyarrow",
+            batch_size=50,
+            concurrency=2,
+        )
+        ids = sorted(r["id"] for r in ds.take_all())
+        assert os.path.exists(flag), "the planted actor death never fired"
+        assert ids == list(range(600))
+
 
 class TestDriverContract:
     def test_oracle_queries_within_driver_row_cap(self):
