@@ -414,9 +414,35 @@ class TestTargetedParity:
         " \t\n ",
     ]
 
+    # adversarial raw-text closer forms: probed against the live reference
+    # (zero divergences over all forms x option sets) and pinned here so a
+    # kernel regression in the raw-text fast-forward scan cannot land silently
+    RAW_TEXT_CLOSERS = [
+        "<script>var a = '</div>';</script>after",
+        "<script>x</script >tail",          # space before >
+        "<script>x</SCRIPT>tail",           # case-insensitive closer
+        "<script>x</script x y=1>tail",     # attributes on the closer
+        "<script>x</ script>tail",          # space after </ (NOT a closer)
+        "<script>never closed <div> <b>",   # EOF-unterminated raw text
+        "<style>p{content:'</style'}</style>done",  # partial closer in value
+        "<textarea><div>not parsed?</div></textarea>",
+        "<script src='x'/>selfclose<div>d</div>",
+        "<SCRIPT>x</script>mixedcase",
+        "<script></scrip></script>ok",      # near-miss closer
+    ]
+
     @pytest.mark.parametrize("html", CASES, ids=range(len(CASES)))
     def test_case(self, ref, html):
         _compare(ref, html, selectors=SELECTORS, label=html)
+
+    @pytest.mark.parametrize(
+        "html", RAW_TEXT_CLOSERS, ids=range(len(RAW_TEXT_CLOSERS))
+    )
+    def test_raw_text_closer_forms(self, ref, html):
+        for opts in (None, {"script": True, "style": True},
+                     {"lowerCaseTagName": True}):
+            _compare(ref, html, options=opts, selectors=("script", "div"),
+                     label=f"{html!r}+{opts}")
 
     def test_lowercase_option_preserves_render_set(self, ref):
         _compare(
